@@ -1,0 +1,454 @@
+/* seqoia_tpu native runtime: clean-room C implementation of the SQOA/QOI
+ * codec wire format.
+ *
+ * This is an original implementation written from the format specification
+ * (reference documentation: seqoia.h:65-282) and the behavioral contract
+ * captured in SURVEY.md §2.1/§2.2. It serves three roles in the framework:
+ *
+ *   1. host-side fast path (en/decode without a TPU in the loop),
+ *   2. parity oracle for the TPU (JAX/Pallas) codec tests,
+ *   3. sequential fallback for decode features the parallel TPU path
+ *      routes around (SQOA_OP_REF back-references, reference: seqoia.h:729-738).
+ *
+ * Exposed via ctypes (see bindings.py). All functions are thread-safe and
+ * allocation-free: callers provide output buffers.
+ *
+ * Build: cc -O3 -shared -fPIC -o libsqoa_native.so sqoa_native.c
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+/* ---- wire format constants (reference: seqoia.h:398-439) ---------------- */
+
+enum {
+    TAG_REF_LIMIT = 0x60,  /* bytes < 0x60 are OP_REF in SQOA mode         */
+    TAG_ALPHA     = 0x60,  /* 011xxxxx                                      */
+    TAG_LUMA      = 0x80,  /* 10xxxxxx                                      */
+    TAG_RUN       = 0xc0,  /* 11xxxxxx                                      */
+    TAG_BIGRUN    = 0xfd,
+    TAG_RGB       = 0xfe,
+    TAG_RGBA      = 0xff,
+    TAG_QOI_DIFF  = 0x40,  /* 01xxxxxx, QOI compat only                     */
+};
+
+#define MASK2          0xc0
+#define SQOA_MAXRUN_   512
+#define QOI_MAXRUN_    62
+#define HDR_SIZE       14
+#define PAD_SIZE       8
+#define START_BYTE_    0x31
+#define PIXELS_MAX_    400000000u
+
+#define MAGIC_SQOA     0x53716f61u /* "Sqoa" */
+#define MAGIC_QOIF     0x716f6966u /* "qoif" */
+
+typedef struct { uint8_t r, g, b, a; } px_t;
+
+static inline uint32_t px_pack(px_t p) {
+    return (uint32_t)p.r | ((uint32_t)p.g << 8) | ((uint32_t)p.b << 16) |
+           ((uint32_t)p.a << 24);
+}
+
+static inline int hash6(px_t p) {
+    /* reference: seqoia.h:414-417 */
+    return (p.r * 3 + p.g * 5 + p.b * 7 + p.a * 11);
+}
+
+static inline void put_be32(uint8_t *dst, uint32_t v) {
+    dst[0] = (uint8_t)(v >> 24);
+    dst[1] = (uint8_t)(v >> 16);
+    dst[2] = (uint8_t)(v >> 8);
+    dst[3] = (uint8_t)v;
+}
+
+static inline uint32_t get_be32(const uint8_t *src) {
+    return ((uint32_t)src[0] << 24) | ((uint32_t)src[1] << 16) |
+           ((uint32_t)src[2] << 8) | (uint32_t)src[3];
+}
+
+/* ---- encoder ------------------------------------------------------------ */
+
+/* Emit the byte sequence that flushes a pending run of `run` pixels
+ * (1 <= run < max_run). Chunking: repeated RUN|60 for each full 61, then a
+ * final RUN|(rem-1). (reference behavior: seqoia.h:554-561) */
+static inline int emit_run_flush(uint8_t *out, int run) {
+    int n = 0;
+    while (run > 61) {
+        out[n++] = (uint8_t)(TAG_RUN | 60);
+        run -= 61;
+    }
+    out[n++] = (uint8_t)(TAG_RUN | (run - 1));
+    return n;
+}
+
+/* Encode one image. Returns the number of bytes written, or -1 on invalid
+ * arguments. `out` must hold at least w*h*(norm_channels+1)+22 bytes.
+ *
+ * channels: 1..6 per the SQOA channel enum; BGR/BGRA are *not* swizzled
+ * (matches reference behavior, seqoia.h:531-541 reads r,g,b positionally).
+ */
+int64_t sqn_encode(const uint8_t *pixels, uint32_t width, uint32_t height,
+                   int channels, int colorspace, int qoi_compat,
+                   uint8_t *out) {
+    if (!pixels || !out) return -1;
+    if (width == 0 || height == 0) return -1;
+    if (channels < 1 || channels > 6) return -1;
+    if (colorspace < 0 || colorspace > 1) return -1;
+    if (height >= PIXELS_MAX_ / width) return -1;
+
+    int has_alpha = (channels & 1) == 0;
+    int colch;
+    if (channels < 3) {
+        if (qoi_compat) return -1; /* mono + QOI rejected (seqoia.h:477-480) */
+        colch = 1;
+    } else {
+        colch = 3;
+    }
+    int stride = colch + has_alpha;
+    int max_run = qoi_compat ? QOI_MAXRUN_ : SQOA_MAXRUN_;
+
+    int64_t n = 0;
+    put_be32(out + n, qoi_compat ? MAGIC_QOIF : MAGIC_SQOA); n += 4;
+    put_be32(out + n, width); n += 4;
+    put_be32(out + n, height); n += 4;
+    out[n++] = (uint8_t)stride;
+    out[n++] = (uint8_t)colorspace;
+    if (!qoi_compat) out[n++] = START_BYTE_;
+
+    px_t table[64];
+    memset(table, 0, sizeof table);
+
+    px_t cur = {0, 0, 0, 255};
+    px_t prev = cur;
+    int run = 0;
+
+    int64_t total = (int64_t)width * height * stride;
+    for (int64_t pos = 0; pos < total; pos += stride) {
+        if (colch == 3) {
+            cur.r = pixels[pos];
+            cur.g = pixels[pos + 1];
+            cur.b = pixels[pos + 2];
+        } else {
+            cur.g = pixels[pos];
+        }
+        if (has_alpha) cur.a = pixels[pos + colch];
+
+        if (px_pack(cur) == px_pack(prev)) {
+            if (++run == max_run) {
+                out[n++] = TAG_BIGRUN; /* in QOI mode this is RUN|61 == 62px */
+                run = 0;
+            }
+            continue;
+        }
+
+        if (run > 0) {
+            n += emit_run_flush(out + n, run);
+            run = 0;
+        }
+
+        int handled = 0;
+        if (qoi_compat) {
+            int slot = hash6(cur) % 64;
+            if (px_pack(table[slot]) == px_pack(cur)) {
+                out[n++] = (uint8_t)slot; /* QOI_OP_INDEX */
+                handled = 1;
+            } else {
+                table[slot] = cur; /* insert on every miss (seqoia.h:571) */
+                if (cur.a != prev.a) {
+                    out[n++] = TAG_RGBA;
+                    out[n++] = cur.r;
+                    out[n++] = cur.g;
+                    out[n++] = cur.b;
+                    out[n++] = cur.a;
+                    handled = 1;
+                }
+            }
+        }
+
+        if (!handled) {
+            /* deltas use int8 wraparound semantics */
+            int8_t dr = (int8_t)(cur.r - prev.r);
+            int8_t dg = (int8_t)(cur.g - prev.g);
+            int8_t db = (int8_t)(cur.b - prev.b);
+            int8_t da = (int8_t)(cur.a - prev.a);
+            int8_t dr_dg = (int8_t)(dr - dg);
+            int8_t db_dg = (int8_t)(db - dg);
+            int alpha_changed = (da != 0);
+
+            if (qoi_compat &&
+                dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+                db >= -2 && db <= 1) {
+                out[n++] = (uint8_t)(TAG_QOI_DIFF | ((dr + 2) << 4) |
+                                     ((dg + 2) << 2) | (db + 2));
+            } else if (colch == 1 && alpha_changed) {
+                out[n++] = TAG_RGBA; /* mono gray+alpha pair (seqoia.h:601-605) */
+                out[n++] = cur.g;
+                out[n++] = cur.a;
+            } else if (dr_dg >= -8 && dr_dg <= 7 && dg >= -32 && dg <= 31 &&
+                       db_dg >= -8 && db_dg <= 7 && da >= -16 && da <= 15) {
+                out[n++] = (uint8_t)(TAG_LUMA | (dg + 32));
+                if (colch == 3) {
+                    out[n++] = (uint8_t)(((dr_dg + 8) << 4) | (db_dg + 8));
+                    if (alpha_changed)
+                        out[n++] = (uint8_t)(TAG_ALPHA | (da + 16));
+                }
+            } else {
+                out[n++] = (uint8_t)(TAG_RGB | alpha_changed);
+                if (colch == 3) {
+                    out[n++] = cur.r;
+                    out[n++] = cur.g;
+                    out[n++] = cur.b;
+                } else {
+                    out[n++] = cur.g;
+                }
+                if (alpha_changed) out[n++] = cur.a;
+            }
+        }
+        prev = cur;
+    }
+
+    if (run > 0)
+        out[n++] = TAG_BIGRUN; /* trailing run, any length (seqoia.h:640-642) */
+
+    memset(out + n, 0, 7); n += 7;
+    out[n++] = 1;
+    return n;
+}
+
+/* ---- decoder ------------------------------------------------------------ */
+
+/* Byte cursor with SQOA_OP_REF replay support. `replay_end` < 0 means no
+ * replay window is active. When the cursor reaches `replay_end` it jumps to
+ * `resume + 1` and reads there (exactly mirrors the reference SQOA_NEXT
+ * macro's semantics, reference: seqoia.h:418). */
+typedef struct {
+    const uint8_t *bytes;
+    int64_t pos;
+    int64_t replay_end; /* "ref" in the reference */
+    int64_t resume;     /* "refp" in the reference */
+} cursor_t;
+
+static inline uint8_t cur_next(cursor_t *c) {
+    if (c->pos == c->replay_end) {
+        c->pos = c->resume + 1;
+        return c->bytes[c->pos];
+    }
+    return c->bytes[c->pos++];
+}
+
+/* Decode one image.
+ *
+ * data/size: the full file bytes. force_channels: 0 = use header channels,
+ * otherwise force output channel count (must be <= 4). desc_out receives
+ * {width, height, channels, colorspace, qoi_compat}.
+ *
+ * out_pixels must hold width*height*out_channels bytes, where out_channels is
+ * force_channels if nonzero, else the normalized header channel count. Call
+ * sqn_peek_header first to size the buffer.
+ *
+ * Returns bytes written to out_pixels, or -1 on malformed input.
+ */
+int64_t sqn_decode(const uint8_t *data, int64_t size, int force_channels,
+                   uint8_t *out_pixels, uint32_t desc_out[5]) {
+    if (!data || !out_pixels || size < HDR_SIZE + PAD_SIZE) return -1;
+    if (force_channels > 4 || force_channels < 0) return -1;
+
+    uint32_t magic = get_be32(data);
+    uint32_t width = get_be32(data + 4);
+    uint32_t height = get_be32(data + 8);
+    int hdr_channels = data[12];
+    int colorspace = data[13];
+    int qoi_compat = (data[14] != START_BYTE_);
+
+    if (width == 0 || height == 0) return -1;
+    if (hdr_channels < 1 || hdr_channels > 6) return -1;
+    if (colorspace > 1) return -1;
+    if (magic != MAGIC_SQOA && magic != MAGIC_QOIF) return -1;
+    if (magic == MAGIC_QOIF && !qoi_compat) return -1;
+    if (height >= PIXELS_MAX_ / width) return -1;
+
+    int colch, index_size;
+    if (hdr_channels < 3) {
+        colch = 1;
+        index_size = 128; /* mono widens the index (seqoia.h:690-693) */
+    } else {
+        colch = 3;
+        index_size = 64;
+    }
+
+    int channels = force_channels;
+    int add_alpha = (channels & 1) == 0;
+    if (channels == 0) {
+        add_alpha = (hdr_channels & 1) == 0;
+        channels = colch + add_alpha;
+    }
+
+    int64_t p = HDR_SIZE;
+    if (!qoi_compat) {
+        if (data[p] != START_BYTE_) return -1;
+        p++;
+    }
+
+    if (desc_out) {
+        desc_out[0] = width;
+        desc_out[1] = height;
+        desc_out[2] = (uint32_t)hdr_channels;
+        desc_out[3] = (uint32_t)colorspace;
+        desc_out[4] = (uint32_t)qoi_compat;
+    }
+
+    px_t table[128];
+    memset(table, 0, sizeof table);
+    px_t px = {0, 0, 0, 255};
+
+    cursor_t c = {data, p, -1, 0};
+    int64_t chunks_len = size - PAD_SIZE;
+    int64_t px_len = (int64_t)width * height * channels;
+    int run = 0;
+
+    for (int64_t pos = 0; pos < px_len; pos += channels) {
+        if (run > 0) {
+            run--;
+        } else if (c.pos < chunks_len) {
+            int b1 = cur_next(&c);
+
+            if (!qoi_compat && b1 < TAG_REF_LIMIT) {
+                /* OP_REF: replay `2+(b1>>5)` bytes ending (b1&31) back from
+                 * the current position (reference: seqoia.h:729-738). */
+                c.resume = c.pos;
+                c.replay_end = c.pos - (b1 & 31);
+                c.pos = c.replay_end - 2 - (b1 >> 5);
+                if (c.pos < 0) return -1;
+                b1 = c.bytes[c.pos++];
+            }
+
+            if (b1 == TAG_RGB || b1 == TAG_RGBA) {
+                if (colch == 3) {
+                    px.r = cur_next(&c);
+                    px.g = cur_next(&c);
+                    px.b = cur_next(&c);
+                } else {
+                    px.g = cur_next(&c);
+                }
+                if (b1 == TAG_RGBA) px.a = cur_next(&c);
+            } else if (qoi_compat && b1 < index_size) {
+                px = table[b1];
+            } else if (qoi_compat && (b1 & MASK2) == TAG_QOI_DIFF) {
+                px.r = (uint8_t)(px.r + ((b1 >> 4) & 3) - 2);
+                px.g = (uint8_t)(px.g + ((b1 >> 2) & 3) - 2);
+                px.b = (uint8_t)(px.b + (b1 & 3) - 2);
+            } else if ((b1 & MASK2) == TAG_LUMA) {
+                int dg = (b1 & 0x3f) - 32;
+                px.g = (uint8_t)(px.g + dg);
+                if (colch == 3) {
+                    int b2 = cur_next(&c);
+                    px.r = (uint8_t)(px.r + dg - 8 + ((b2 >> 4) & 0x0f));
+                    px.b = (uint8_t)(px.b + dg - 8 + (b2 & 0x0f));
+                }
+            } else if (!qoi_compat && b1 == TAG_BIGRUN) {
+                run = SQOA_MAXRUN_ - 1;
+            } else {
+                run = b1 & 0x3f;
+            }
+
+            /* alpha-delta peek: a trailing 011xxxxx byte updates the pixel
+             * just decoded (SQOA color mode only, reference: seqoia.h:777-783).
+             * NB the peek inspects bytes[pos] directly but consumes through
+             * the replay-aware cursor. */
+            if (!qoi_compat && colch == 3 &&
+                c.bytes[c.pos] >= TAG_ALPHA && c.bytes[c.pos] < TAG_LUMA) {
+                b1 = cur_next(&c);
+                px.a = (uint8_t)(px.a + (b1 & 0x1f) - 16);
+            }
+
+            if (qoi_compat)
+                table[hash6(px) % index_size] = px;
+        }
+
+        if (channels >= 3 && colch == 3) {
+            out_pixels[pos] = px.r;
+            out_pixels[pos + 1] = px.g;
+            out_pixels[pos + 2] = px.b;
+        } else {
+            out_pixels[pos] = px.g;
+            if (channels >= 3) {
+                out_pixels[pos + 1] = px.g;
+                out_pixels[pos + 2] = px.g;
+            }
+        }
+        if (add_alpha) out_pixels[pos + channels - 1] = px.a;
+    }
+
+    return px_len;
+}
+
+/* Parse just the header. Returns 0 on success, -1 on malformed header.
+ * desc_out receives {width, height, channels, colorspace, qoi_compat}. */
+int sqn_peek_header(const uint8_t *data, int64_t size, uint32_t desc_out[5]) {
+    if (!data || size < HDR_SIZE + PAD_SIZE) return -1;
+    uint32_t magic = get_be32(data);
+    uint32_t width = get_be32(data + 4);
+    uint32_t height = get_be32(data + 8);
+    int channels = data[12];
+    int colorspace = data[13];
+    int qoi_compat = (data[14] != START_BYTE_);
+    if (width == 0 || height == 0) return -1;
+    if (channels < 1 || channels > 6) return -1;
+    if (colorspace > 1) return -1;
+    if (magic != MAGIC_SQOA && magic != MAGIC_QOIF) return -1;
+    if (magic == MAGIC_QOIF && !qoi_compat) return -1;
+    if (height >= PIXELS_MAX_ / width) return -1;
+    desc_out[0] = width;
+    desc_out[1] = height;
+    desc_out[2] = (uint32_t)channels;
+    desc_out[3] = (uint32_t)colorspace;
+    desc_out[4] = (uint32_t)qoi_compat;
+    return 0;
+}
+
+/* ---- batch APIs ---------------------------------------------------------
+ * Simple loops for now; per-image independence means these are trivially
+ * parallel (the TPU path is the throughput path; this is the host fallback).
+ */
+
+/* Encode `count` images with identical geometry packed contiguously in
+ * `pixels`. Outputs are written back-to-back into `out` at stride
+ * `out_stride`; per-image lengths land in `lengths`. Returns number of
+ * successfully encoded images. */
+int64_t sqn_encode_batch(const uint8_t *pixels, uint32_t width,
+                         uint32_t height, int channels, int colorspace,
+                         int qoi_compat, int64_t count, uint8_t *out,
+                         int64_t out_stride, int64_t *lengths) {
+    int has_alpha = (channels & 1) == 0;
+    int colch = channels < 3 ? 1 : 3;
+    int64_t in_stride = (int64_t)width * height * (colch + has_alpha);
+    int64_t ok = 0;
+    for (int64_t i = 0; i < count; i++) {
+        int64_t n = sqn_encode(pixels + i * in_stride, width, height,
+                               channels, colorspace, qoi_compat,
+                               out + i * out_stride);
+        lengths[i] = n;
+        if (n >= 0) ok++;
+    }
+    return ok;
+}
+
+/* Decode `count` streams. offsets/sizes locate each stream inside `data`.
+ * Pixel outputs land at out + i*out_stride. statuses[i] = bytes written or
+ * -1. Returns number of successes. */
+int64_t sqn_decode_batch(const uint8_t *data, const int64_t *offsets,
+                         const int64_t *sizes, int64_t count,
+                         int force_channels, uint8_t *out,
+                         int64_t out_stride, int64_t *statuses) {
+    int64_t ok = 0;
+    for (int64_t i = 0; i < count; i++) {
+        uint32_t desc[5];
+        int64_t n = sqn_decode(data + offsets[i], sizes[i], force_channels,
+                               out + i * out_stride, desc);
+        statuses[i] = n;
+        if (n >= 0) ok++;
+    }
+    return ok;
+}
