@@ -1,0 +1,13 @@
+"""Batched + sharded codec pipelines (data parallelism over device meshes)."""
+
+from .batch import BatchDecoder, BatchEncoder, corpus_decode, corpus_encode
+from .mesh import batch_sharding, default_mesh
+
+__all__ = [
+    "BatchDecoder",
+    "BatchEncoder",
+    "corpus_decode",
+    "corpus_encode",
+    "default_mesh",
+    "batch_sharding",
+]

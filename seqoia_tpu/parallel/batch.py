@@ -1,0 +1,204 @@
+"""Batched multi-image codec pipeline with device-mesh sharding.
+
+This is the TPU-native answer to the reference's one-image-one-thread model
+(SURVEY.md §2.3): images are bucketed by static shape class, stacked, and
+vmapped through the data-parallel codec kernels; the batch dimension shards
+across the mesh so corpus-scale decode rides every chip's VPU + HBM.
+
+Per-image failure isolation (SURVEY.md §5.3): malformed headers are rejected
+on the host before dispatch and surface as per-image error slots instead of
+poisoning the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import spec
+from ..codec import decode_jax, encode_jax
+from .mesh import batch_sharding, default_mesh
+
+
+def _next_pow2(x: int) -> int:
+    x = max(int(x), 1)
+    return 1 << (x - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Batched decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max", "max_ops")
+)
+def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
+                         n_max, max_ops):
+    if compat:
+        fn = functools.partial(
+            decode_jax.decode_stream_compat,
+            colch=colch, out_ch=out_ch, n_max=n_max, max_ops=max_ops,
+        )
+        out = jax.vmap(fn)(data, chunks_len, n_pixels)
+        return out, jnp.zeros((data.shape[0],), bool)
+    fn = functools.partial(
+        decode_jax.decode_stream,
+        colch=colch, compat=False, out_ch=out_ch, n_max=n_max, max_ops=max_ops,
+    )
+    return jax.vmap(fn)(data, chunks_len, n_pixels)
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    pixels: np.ndarray | None  # flat uint8, or None on error
+    desc: spec.SqoaDesc | None
+    error: str | None = None
+
+
+class BatchDecoder:
+    """Decode many SQOA/QOI streams on the mesh.
+
+    Streams are grouped into (mode, stream-bucket, pixel-bucket) classes;
+    each class becomes one vmapped, batch-sharded kernel launch. Classes are
+    padded to a multiple of the mesh size.
+    """
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh if mesh is not None else default_mesh()
+
+    def __call__(self, streams, channels: int = 0):
+        results: list[DecodeResult | None] = [None] * len(streams)
+        groups = defaultdict(list)
+        for i, data in enumerate(streams):
+            desc = (
+                spec.unpack_header(bytes(data[: spec.HEADER_SIZE + 1]) + b"\0" * 8)
+                if len(data) >= spec.HEADER_SIZE + spec.PADDING_SIZE
+                else None
+            )
+            if desc is None or channels < 0 or channels > 4:
+                results[i] = DecodeResult(None, None, "invalid header")
+                continue
+            colch = desc.col_channels
+            out_ch = (
+                channels if channels
+                else colch + (1 if (desc.channels & 1) == 0 else 0)
+            )
+            m_pad = _next_pow2(len(data))
+            start = spec.HEADER_SIZE + (0 if desc.qoi_compat else 1)
+            max_ops = _next_pow2(max(len(data) - 8 - start, 1))
+            n_max = _next_pow2(desc.n_pixels)
+            key = (colch, bool(desc.qoi_compat), out_ch, m_pad, max_ops, n_max)
+            groups[key].append((i, data, desc))
+
+        n_dev = self.mesh.size
+        sharding = batch_sharding(self.mesh)
+        for (colch, compat, out_ch, m_pad, max_ops, n_max), items in groups.items():
+            b = len(items)
+            b_pad = -(-b // n_dev) * n_dev
+            buf = np.zeros((b_pad, m_pad), np.uint8)
+            clens = np.zeros((b_pad,), np.int32)
+            npix = np.zeros((b_pad,), np.int32)
+            for j, (_, data, desc) in enumerate(items):
+                buf[j, : len(data)] = np.frombuffer(data, np.uint8)
+                clens[j] = len(data) - spec.PADDING_SIZE
+                npix[j] = desc.n_pixels
+            args = jax.device_put(
+                (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npix)),
+                (sharding, sharding, sharding),
+            )
+            out, has_ref = _decode_batch_kernel(
+                *args, colch=colch, compat=compat, out_ch=out_ch,
+                n_max=n_max, max_ops=max_ops,
+            )
+            out = np.asarray(out)
+            has_ref = np.asarray(has_ref)
+            for j, (i, data, desc) in enumerate(items):
+                if has_ref[j]:
+                    # SQOA_OP_REF stream: sequential fallback (SURVEY §7.2).
+                    from .. import native
+
+                    pix, d = native.decode(bytes(data), channels)
+                    if pix is None:
+                        results[i] = DecodeResult(None, None, "malformed stream")
+                    else:
+                        results[i] = DecodeResult(pix, spec.SqoaDesc(*d))
+                else:
+                    n = desc.n_pixels * out_ch
+                    results[i] = DecodeResult(
+                        out[j].reshape(-1)[:n].copy(), desc
+                    )
+        return results
+
+
+# ---------------------------------------------------------------------------
+# Batched encode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("colch", "has_alpha", "compat", "out_cap")
+)
+def _encode_batch_kernel(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
+    fn = functools.partial(
+        encode_jax.encode_stream,
+        colch=colch, has_alpha=has_alpha, compat=compat, out_cap=out_cap,
+    )
+    return jax.vmap(fn)(rgba, n_valid)
+
+
+class BatchEncoder:
+    """Encode many images on the mesh; returns per-image byte strings."""
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh if mesh is not None else default_mesh()
+
+    def __call__(self, images, descs):
+        results: list[bytes | None] = [None] * len(images)
+        groups = defaultdict(list)
+        for i, (pix, desc) in enumerate(zip(images, descs)):
+            if pix is None or not spec.validate_encode_desc(desc):
+                continue
+            n_pad = _next_pow2(desc.n_pixels)
+            key = (desc.col_channels, desc.has_alpha, bool(desc.qoi_compat), n_pad)
+            groups[key].append((i, pix, desc))
+
+        n_dev = self.mesh.size
+        sharding = batch_sharding(self.mesh)
+        for (colch, has_alpha, compat, n_pad), items in groups.items():
+            b = len(items)
+            b_pad = -(-b // n_dev) * n_dev
+            norm_ch = colch + has_alpha
+            cap = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
+            rgba = np.zeros((b_pad, n_pad, 4), np.int32)
+            nval = np.zeros((b_pad,), np.int32)
+            for j, (_, pix, desc) in enumerate(items):
+                rgba[j, : desc.n_pixels] = encode_jax.normalize_pixels(pix, desc)
+                nval[j] = desc.n_pixels
+            args = jax.device_put(
+                (jnp.asarray(rgba), jnp.asarray(nval)), (sharding, sharding)
+            )
+            out, totals = _encode_batch_kernel(
+                *args, colch=colch, has_alpha=has_alpha, compat=compat,
+                out_cap=int(cap),
+            )
+            out = np.asarray(out)
+            totals = np.asarray(totals)
+            for j, (i, pix, desc) in enumerate(items):
+                results[i] = (
+                    spec.pack_header(desc) + out[j, : totals[j]].tobytes()
+                )
+        return results
+
+
+# Convenience one-shot APIs -------------------------------------------------
+
+def corpus_decode(streams, channels: int = 0, mesh=None):
+    return BatchDecoder(mesh)(streams, channels)
+
+
+def corpus_encode(images, descs, mesh=None):
+    return BatchEncoder(mesh)(images, descs)

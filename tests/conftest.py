@@ -8,12 +8,20 @@ any jax import.
 import os
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (TPU); tests always run on
+# the virtual CPU mesh unless explicitly overridden. NB the axon
+# sitecustomize re-pins the env var, so jax.config is the reliable switch.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update(
+    "jax_platforms", os.environ.get("SEQOIA_TEST_PLATFORM", "cpu")
+)
 
 import ctypes
 
