@@ -123,12 +123,16 @@ def _anchored_value(is_abs, abs_val, delta, init):
     return (anchor_val + cum - anchor_cum) & 255
 
 
+from .decode_v2 import decode_stream  # scan-automaton SQOA decoder (v2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max", "max_ops")
 )
-def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch,
-                  n_max, max_ops):
-    """Decode chunk bytes into pixels.
+def _decode_stream_v1(data, chunks_len, n_pixels, *, colch, compat, out_ch,
+                      n_max, max_ops):
+    """Gather-based decode (v1) — superseded by decode_v2 on TPU (random
+    gathers serialize); kept as a differential reference implementation.
 
     Args:
       data: (M,) uint8 full file bytes (header included; padding present).
@@ -276,16 +280,35 @@ def _compat_scan_step(carry, op, colch):
 )
 def decode_stream_compat(data, chunks_len, n_pixels, *, colch, out_ch,
                          n_max, max_ops):
-    """QOI-compat decode: tokenize in parallel, then scan ops sequentially
-    (the 64-entry color index is genuine sequential state). Designed to be
-    vmapped over a batch so the scan amortizes across images."""
-    data = data.astype(jnp.int32)
-    pos, op_b, op_valid = _tokenize(
-        data, spec.HEADER_SIZE, chunks_len, max_ops, colch, True
+    """QOI-compat decode: tokenize with the scan automaton, compact op
+    operands with one monotone scatter, then scan ops sequentially (the
+    64-entry color index is genuine sequential state,
+    reference: seqoia.h:753-755,785-787). Designed to be vmapped over a
+    batch so the scan amortizes across images."""
+    from . import decode_v2
+    from ..ops import scan_ops
+
+    b = data.astype(jnp.int32)
+    token, _lens = decode_v2._tokenize(b, chunks_len, colch, True)
+    tok_idx = scan_ops.blocked_cumsum(token.astype(jnp.int32)) - 1
+    idx = jnp.arange(b.shape[-1], dtype=jnp.int32)
+    tgt = jnp.where(token & (tok_idx < max_ops), tok_idx, max_ops + idx)
+
+    def compact(vals, fill=0):
+        return jnp.full((max_ops,), fill, jnp.int32).at[tgt].set(
+            vals, mode="drop", unique_indices=True
+        )
+
+    op_b = compact(b)
+    ops = (
+        op_b,
+        compact(decode_v2._shift_left(b, 1)),
+        compact(decode_v2._shift_left(b, 2)),
+        compact(decode_v2._shift_left(b, 3)),
+        compact(decode_v2._shift_left(b, 4)),
+        jnp.arange(max_ops, dtype=jnp.int32) < jnp.sum(token),
     )
-    m = data.shape[0]
-    at = lambda off: data[jnp.minimum(pos + off, m - 1)]
-    ops = (op_b, at(1), at(2), at(3), at(4), op_valid)
+    op_valid = ops[5]
 
     index_size = spec.QOI_INDEX_SIZE if colch == 3 else spec.QOI_INDEX_SIZE_MONO
     init = (
@@ -295,27 +318,44 @@ def decode_stream_compat(data, chunks_len, n_pixels, *, colch, out_ch,
     step = functools.partial(_compat_scan_step, colch=colch)
     _, vals = jax.lax.scan(step, init, ops)  # (max_ops, 4)
 
-    cnt_tab = jnp.asarray(_pixel_count_table(True))
-    npix = jnp.where(op_valid, cnt_tab[op_b], 0)
-    pix_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(npix, dtype=jnp.int32)[:-1]]
+    # pixels per op, closed form (runs produce (b&63)+1; others 1)
+    npix = jnp.where(op_b >= spec.OP_RUN, (op_b & 0x3F) + 1, 1)
+    npix = jnp.where(
+        (op_b == spec.OP_RGB) | (op_b == spec.OP_RGBA), 1, npix
     )
+    npix = jnp.where(op_valid, npix, 0)
+    pix_off = scan_ops.blocked_cumsum(npix) - npix  # exclusive
 
+    # expansion: scatter per-op packed values at pixel offsets, forward-fill
+    packed = (
+        (vals[:, 0] & 255)
+        | ((vals[:, 1] & 255) << 8)
+        | ((vals[:, 2] & 255) << 16)
+        | ((vals[:, 3] & 255) << 24)
+    )
+    oidx = jnp.arange(max_ops, dtype=jnp.int32)
+    valid_op = op_valid & (npix > 0) & (pix_off < n_max)
+    ptgt = jnp.where(valid_op, pix_off, n_max + oidx)
+    grid = jnp.zeros((n_max,), jnp.int32).at[ptgt].set(
+        packed, mode="drop", unique_indices=True
+    )
+    gridf = jnp.zeros((n_max,), jnp.int32).at[ptgt].set(
+        jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
+    )
+    init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
+    filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
+
+    r, g = filled & 255, (filled >> 8) & 255
+    bb, a = (filled >> 16) & 255, (filled >> 24) & 255
     t = jnp.arange(n_max, dtype=jnp.int32)
-    op_of_pixel = jnp.searchsorted(pix_off, t, side="right").astype(jnp.int32) - 1
-    # Pixels before the first op's output or past the stream keep state:
-    # searchsorted handles past-the-end; a clip handles the degenerate head.
-    op_of_pixel = jnp.clip(op_of_pixel, 0, max_ops - 1)
-    px = vals[op_of_pixel]
-
     if out_ch >= 3 and colch == 3:
-        cols = [px[:, 0], px[:, 1], px[:, 2]]
+        cols = [r, g, bb]
     elif out_ch >= 3:
-        cols = [px[:, 1], px[:, 1], px[:, 1]]
+        cols = [g, g, g]
     else:
-        cols = [px[:, 1]]
+        cols = [g]
     if out_ch in (2, 4):
-        cols.append(px[:, 3])
+        cols.append(a)
     out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
     out = jnp.where((t < n_pixels)[:, None], out, 0)
     return out
@@ -356,7 +396,7 @@ def decode(data: bytes, channels: int = 0):
         return np.asarray(out).reshape(-1)[: n_pix * out_ch], desc
     out, has_ref = decode_stream(
         arr, jnp.int32(chunks_len), jnp.int32(n_pix),
-        colch=colch, compat=False, out_ch=out_ch, n_max=n_max, max_ops=max_ops,
+        colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
     )
     if bool(has_ref):
         pixels, d = native.decode(bytes(data), channels)

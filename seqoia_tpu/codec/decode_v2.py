@@ -1,0 +1,211 @@
+"""TPU-native SQOA decoder, scan-automaton formulation (v2).
+
+Replaces the gather-heavy v1 pipeline: measured on v5e, random gathers
+serialize (~11 ns/element) while log-shift scans are bandwidth-bound, so the
+whole decode is reformulated as elementwise passes + scans + one scatter:
+
+1. Token lengths are a closed-form function of each byte (an op's length,
+   with any trailing SQOA_OP_ALPHA modifier treated as its own 1-byte token;
+   reference grammar: seqoia.h:106-280).
+2. Token boundaries come from a 5-state countdown automaton whose per-byte
+   transition maps (packed 15-bit) compose associatively — one log-shift
+   function-composition scan (ops/scan_ops.py), replacing pointer-doubling.
+3. Alpha-range tokens alternate modifier/run within each maximal alpha
+   train (the reference peeks exactly once after each op,
+   seqoia.h:777-783); the alternation resolves with a segmented count.
+4. Channel values are segmented modular sums: absolute anchors (RGB/RGBA,
+   reference: seqoia.h:740-752) reset, LUMA/ALPHA deltas accumulate
+   (seqoia.h:761-769). Operand bytes arrive by shifting the byte array, not
+   gathering.
+5. Pixel expansion: one monotone unique scatter of per-op values to their
+   pixel offsets (prefix-summed pixel counts), then a log-shift forward fill.
+
+SQOA_OP_REF streams (cursor teleportation, seqoia.h:729-738) are flagged and
+routed to the sequential native fallback by the caller; the reference
+encoder never emits REF (SURVEY.md §2.1 item 9).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import spec
+from ..ops import scan_ops
+
+
+def _shift_left(x, k, fill=0):
+    """x[i+k] along the last axis."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, k)]
+    return jnp.pad(x, pad, constant_values=fill)[..., k:]
+
+
+def _token_lengths(b, colch: int, compat: bool):
+    """Token byte-length per position, assuming a token starts there."""
+    is_luma = (b & spec.MASK_2) == spec.OP_LUMA
+    if colch == 3:
+        lens = 1 + jnp.where(is_luma, 1, 0)
+        lens = jnp.where(b == spec.OP_RGB, 4, lens)
+        lens = jnp.where(b == spec.OP_RGBA, 5, lens)
+    else:
+        lens = jnp.where(b == spec.OP_RGB, 2, jnp.ones_like(b))
+        lens = jnp.where(b == spec.OP_RGBA, 3, lens)
+    if compat:
+        index_size = spec.QOI_INDEX_SIZE if colch == 3 else spec.QOI_INDEX_SIZE_MONO
+        lens = jnp.where(b < index_size, 1, lens)
+    return lens
+
+
+def _tokenize(b, chunks_len, colch: int, compat: bool):
+    """Token-start mask over byte positions."""
+    start = spec.HEADER_SIZE + (0 if compat else 1)
+    lens = _token_lengths(b, colch, compat)
+    state = scan_ops.tokenizer_states(lens, start)
+    idx = jnp.arange(b.shape[-1], dtype=jnp.int32)
+    token = (state == 0) & (idx >= start) & (idx < chunks_len)
+    return token, lens
+
+
+def _npix_table(b, token, is_mod, colch: int, compat: bool):
+    """Pixels produced per token (reference: seqoia.h:722-726,770-775)."""
+    run_px = (b & 0x3F) + 1
+    if compat:
+        npix = jnp.where(b >= spec.OP_RUN, run_px, 1)
+        npix = jnp.where((b == spec.OP_RGB) | (b == spec.OP_RGBA), 1, npix)
+    else:
+        npix = run_px
+        is_luma = (b & spec.MASK_2) == spec.OP_LUMA
+        npix = jnp.where(is_luma, 1, npix)
+        npix = jnp.where((b == spec.OP_RGB) | (b == spec.OP_RGBA), 1, npix)
+        npix = jnp.where(b == spec.OP_BIGRUN, spec.SQOA_MAXRUN, npix)
+        npix = jnp.where(b < spec.OP_ALPHA, 1, npix)  # REF: fallback anyway
+    return jnp.where(token & ~is_mod, npix, 0)
+
+
+def _modifier_mask(b, token, colch: int, compat: bool):
+    """Which alpha-range tokens are alpha *modifiers* (vs run ops).
+
+    Within each maximal train of consecutive alpha-range tokens, tokens
+    alternate modifier/op starting with modifier — except a train at stream
+    head (no op before it) starts with an op. Only SQOA color mode has
+    modifiers (reference: seqoia.h:777-783)."""
+    if compat or colch != 3:
+        return jnp.zeros_like(token)
+    alpha_tok = token & (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
+    op_tok = token & ~alpha_tok
+    acnt = scan_ops.blocked_cumsum(alpha_tok.astype(jnp.int32))
+    brk = scan_ops.fill_forward(acnt, op_tok, 0)
+    alpha_idx = acnt - brk  # 1-based index within the train
+    seen_op = scan_ops.fill_forward(
+        jnp.ones_like(acnt), op_tok, 0
+    ).astype(bool)
+    want_parity = jnp.where(seen_op, 1, 0)
+    return alpha_tok & ((alpha_idx & 1) == want_parity)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
+)
+def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
+    """Decode a SQOA (non-compat) stream. See module docstring.
+
+    Returns (pixels (n_max, out_ch) uint8, has_ref flag)."""
+    assert not compat, "use decode_stream_compat for QOI streams"
+    b = data.astype(jnp.int32)
+    token, lens = _tokenize(b, chunks_len, colch, compat)
+    has_ref = jnp.any(token & (b < spec.OP_ALPHA))
+
+    is_mod = _modifier_mask(b, token, colch, compat)
+    is_op = token & ~is_mod
+    npix = _npix_table(b, token, is_mod, colch, compat)
+    pixoff = scan_ops.blocked_cumsum(npix) - npix  # exclusive
+
+    b1 = _shift_left(b, 1)
+    b2 = _shift_left(b, 2)
+    is_luma = (b & spec.MASK_2) == spec.OP_LUMA
+    is_rgb = b == spec.OP_RGB
+    is_rgba = b == spec.OP_RGBA
+    vg = (b & 0x3F) - 32
+
+    if colch == 3:
+        b3 = _shift_left(b, 3)
+        b4 = _shift_left(b, 4)
+        # alpha modifier deltas folded into their owning op (the modifier is
+        # consumed before the op's pixels are written, so the op's pixels
+        # carry the updated alpha)
+        mod_delta = jnp.where(is_mod, (b & 0x1F) - 16, 0)
+        attached = jnp.zeros_like(b)
+        for L in (1, 2, 4, 5):
+            attached = attached + jnp.where(
+                lens == L, _shift_left(mod_delta, L), 0
+            )
+        anchor_rgb = is_op & (is_rgb | is_rgba)
+        anchor_a = is_op & is_rgba
+        luma_op = is_op & is_luma
+        r_el = jnp.where(anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0))
+        g_el = jnp.where(anchor_rgb, b2, jnp.where(luma_op, vg, 0))
+        b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
+        a_el = jnp.where(anchor_a, b4, 0) + jnp.where(is_op, attached, 0)
+        rg = scan_ops.segmented_modsum(
+            scan_ops.pack_pair(r_el, anchor_rgb, g_el, anchor_rgb)
+        )
+        ba = scan_ops.segmented_modsum(
+            scan_ops.pack_pair(b_el, anchor_rgb, a_el, anchor_a)
+        )
+        r_v, g_v = rg & 255, (rg >> 16) & 255
+        b_v, a_v = ba & 255, (ba >> 16) & 255
+        a_flag = (ba >> 24) & 1
+    else:
+        anchor_g = is_op & (is_rgb | is_rgba)
+        anchor_a = is_op & is_rgba
+        g_el = jnp.where(anchor_g, b1, jnp.where(is_op & is_luma, vg, 0))
+        a_el = jnp.where(anchor_a, b2, 0)
+        ga = scan_ops.segmented_modsum(
+            scan_ops.pack_pair(g_el, anchor_g, a_el, anchor_a)
+        )
+        g_v = ga & 255
+        a_v = (ga >> 16) & 255
+        a_flag = (ga >> 24) & 1
+        r_v = b_v = g_v
+
+    # alpha starts at 255 until the first RGBA anchor (initial state,
+    # seqoia.h:716-719); r/g/b start at 0 which the scans give for free.
+    a_v = jnp.where(a_flag == 1, a_v, (a_v + 255) & 255)
+
+    packed = r_v | (g_v << 8) | (b_v << 16) | (a_v << 24)
+
+    # --- expansion: scatter op values at pixel offsets, forward-fill -------
+    valid_op = is_op & (npix > 0) & (pixoff < n_max)
+    # invalid entries get unique out-of-bounds targets (dropped by mode=drop)
+    # so the unique_indices contract holds
+    idx_b = jnp.arange(b.shape[-1], dtype=jnp.int32)
+    tgt = jnp.where(valid_op, pixoff, n_max + idx_b)
+    grid = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
+        packed, mode="drop", unique_indices=True
+    )
+    gridf = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
+        jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
+    )
+    init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
+    filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
+
+    r = filled & 255
+    g = (filled >> 8) & 255
+    bb = (filled >> 16) & 255
+    a = (filled >> 24) & 255
+
+    t = jnp.arange(n_max, dtype=jnp.int32)
+    if out_ch >= 3 and colch == 3:
+        cols = [r, g, bb]
+    elif out_ch >= 3:
+        cols = [g, g, g]
+    else:
+        cols = [g]
+    if out_ch in (2, 4):
+        cols.append(a)
+    out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
+    out = jnp.where((t < n_pixels)[:, None], out, 0)
+    return out, has_ref

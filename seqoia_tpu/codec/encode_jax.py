@@ -87,12 +87,16 @@ def _run_flush_bytes(r, k):
     ).astype(jnp.int32)
 
 
+from .encode_v2 import encode_stream  # gather-free encoder (canonical)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("colch", "has_alpha", "compat", "out_cap"),
 )
-def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
-    """Encode normalized RGBA pixels into the SQOA/QOI chunk stream.
+def _encode_stream_v1(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
+    """Gather-based encoder (v1) — superseded by encode_v2 on TPU; kept as a
+    differential reference implementation.
 
     Args:
       rgba: (N, 4) int32, channel values in [0,255]. Mono inputs must be

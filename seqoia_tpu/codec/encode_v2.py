@@ -1,0 +1,284 @@
+"""TPU-native SQOA/QOI encoder, scan formulation v2 (gather-free).
+
+Same byte-exact contract as encode_jax (reference loop: seqoia.h:530-646),
+re-architected for measured v5e behavior: no random gathers, prefix sums via
+blocked MXU matmuls / log-shift scans, and stream compaction inverted into
+an output-driven form:
+
+  * every *emitting* pixel scatters three packed fields (its color, its
+    predecessor's color, and run/flush metadata) to its stream offset —
+    monotone unique scatter;
+  * a log-shift forward-fill extends those fields across each pixel's byte
+    range;
+  * each output byte position then computes its own value closed-form from
+    the filled fields and its intra-emission index k (flush chunk bytes,
+    then op bytes).
+
+The QOI-compat hash-index resolution (last-writer-wins, seqoia.h:563-582)
+uses two lax.sort passes (sort by (hash,pos), neighbor shift, sort back by
+pos) — bitonic sorts vectorize on TPU where gathers do not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import spec
+from ..ops import scan_ops
+
+# op classes (3 bits in the aux word)
+_CL_LUMA = 0      # SQOA luma (color: 2B +1 if alpha; mono: 1B)
+_CL_RGB = 1       # RGB fallback (color 4B +1 alpha; mono 2B +1)
+_CL_MONO_GA = 2   # mono gray+alpha 3B (0xff g a)
+_CL_INDEX = 3     # compat index 1B
+_CL_RGBA5 = 4     # compat full rgba 5B
+_CL_DIFF = 5      # compat diff 1B
+_CL_RGB4 = 6      # compat rgb 4B
+_CL_NONE = 7      # run-only pixel (BIGRUN byte or nothing)
+
+
+def _wrap8(x):
+    return ((x + 128) & 255) - 128
+
+
+def _compat_found(packed, change, hashes):
+    """Index-table hit per change pixel via two bitonic sorts (no gathers).
+
+    Slot content before pixel i is the color of the most recent change pixel
+    j<i with the same hash (insert-on-every-miss, seqoia.h:563-582), zero if
+    none (zeroed init table, seqoia.h:518)."""
+    n = packed.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(change, hashes, jnp.int32(spec.QOI_INDEX_SIZE))
+    sk, si, sp = jax.lax.sort((keys, idx, packed), num_keys=2)
+    left_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), sk[1:] == sk[:-1]]
+    )
+    left_val = jnp.concatenate([jnp.zeros((1,), jnp.int32), sp[:-1]])
+    found_sorted = jnp.where(left_same, left_val == sp, sp == 0)
+    _, found = jax.lax.sort(
+        (si, found_sorted.astype(jnp.int32)), num_keys=1
+    )
+    return change & (found == 1)
+
+
+def _flush_byte(pending, k):
+    """k-th byte of the run flush for `pending` pixels (seqoia.h:554-561)."""
+    n_full = jnp.maximum(pending - 1, 0) // 61
+    rem = pending - 61 * n_full
+    return jnp.where(k >= n_full, spec.OP_RUN | (rem - 1), spec.OP_RUN | 60)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("colch", "has_alpha", "compat", "out_cap"),
+)
+def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
+    """Encode normalized (N,4) int32 RGBA pixels into the chunk stream.
+
+    Same contract as the v1 encoder: returns ((out_cap,) uint8 chunk bytes
+    + trailing BIGRUN + end marker, total byte count)."""
+    n = rgba.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
+    maxrun = spec.QOI_MAXRUN if compat else spec.SQOA_MAXRUN
+
+    cr, cg, cb, ca = rgba[:, 0], rgba[:, 1], rgba[:, 2], rgba[:, 3]
+    packed = cr | (cg << 8) | (cb << 16) | (ca << 24)
+    init = jnp.int32(np.int32(np.uint32(255 << 24)))
+    prev_packed = jnp.concatenate([jnp.full((1,), init), packed[:-1]])
+
+    same = (packed == prev_packed) & valid
+    change = (~same) & valid
+
+    last_change = scan_ops.hillis_max(jnp.where(change, idx, -1))
+    prev_change = jnp.concatenate([jnp.full((1,), -1), last_change[:-1]])
+
+    seg_len = idx - 1 - prev_change
+    pending = jnp.where(change, seg_len % maxrun, 0)
+    flush_n = jnp.where(pending > 0, (pending - 1) // 61 + 1, 0)
+    seg_pos = idx - last_change
+    bigrun = same & (seg_pos % maxrun == 0)
+
+    # --- op classification (closed-form from cur/prev) ----------------------
+    pr, pg = prev_packed & 255, (prev_packed >> 8) & 255
+    pb, pa = (prev_packed >> 16) & 255, (prev_packed >> 24) & 255
+    vr = _wrap8(cr - pr)
+    vg = _wrap8(cg - pg)
+    vb = _wrap8(cb - pb)
+    va = _wrap8(ca - pa)
+    vg_r = _wrap8(vr - vg)
+    vg_b = _wrap8(vb - vg)
+    alpha_changed = va != 0
+    luma_ok = (
+        (vg_r >= -8) & (vg_r <= 7)
+        & (vg >= -32) & (vg <= 31)
+        & (vg_b >= -8) & (vg_b <= 7)
+        & (va >= -16) & (va <= 15)
+    )
+
+    if compat:
+        hashes = (cr * 3 + cg * 5 + cb * 7 + ca * 11) % spec.QOI_INDEX_SIZE
+        found = _compat_found(packed, change, hashes)
+        diff_ok = (
+            (vr >= -2) & (vr <= 1) & (vg >= -2) & (vg <= 1)
+            & (vb >= -2) & (vb <= 1)
+        )
+        cls = jnp.select(
+            [found, alpha_changed, diff_ok, luma_ok],
+            [_CL_INDEX, _CL_RGBA5, _CL_DIFF, _CL_LUMA],
+            _CL_RGB4,
+        )
+        op_len = jnp.select(
+            [cls == _CL_INDEX, cls == _CL_RGBA5, cls == _CL_DIFF,
+             cls == _CL_LUMA],
+            [1, 5, 1, 2],
+            4,
+        )
+    elif colch == 3:
+        cls = jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
+        op_len = jnp.where(luma_ok, 2, 4) + alpha_changed.astype(jnp.int32)
+    else:
+        cls = jnp.select(
+            [alpha_changed, luma_ok], [_CL_MONO_GA, _CL_LUMA], _CL_RGB
+        )
+        op_len = jnp.select(
+            [alpha_changed, luma_ok], [3, 1], 2
+        )
+
+    total_len = jnp.where(
+        change, flush_n + op_len, jnp.where(bigrun, 1, 0)
+    ).astype(jnp.int32)
+    cls = jnp.where(change, cls, _CL_NONE)
+
+    offsets = scan_ops.blocked_cumsum(total_len)
+    chunk_total = offsets[-1]
+    offsets = offsets - total_len  # exclusive
+
+    # --- scatter emission fields to stream offsets --------------------------
+    emit = total_len > 0
+    tgt = jnp.where(emit, offsets, out_cap + idx)  # unique OOB for dropped
+
+    def scat(vals):
+        return jnp.zeros((out_cap,), jnp.int32).at[tgt].set(
+            vals, mode="drop", unique_indices=True
+        )
+
+    emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
+    meta = pending | (flush_n << 9) | (cls << 13)
+    cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
+    prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
+    meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
+    off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
+
+    # --- per-output-byte computation ----------------------------------------
+    t = jnp.arange(out_cap, dtype=jnp.int32)
+    k = t - off_f
+    pend_o = meta_f & 0x1FF
+    flush_o = (meta_f >> 9) & 0xF
+    cls_o = (meta_f >> 13) & 0x7
+
+    ocr, ocg = cur_f & 255, (cur_f >> 8) & 255
+    ocb, oca = (cur_f >> 16) & 255, (cur_f >> 24) & 255
+    opr, opg = prev_f & 255, (prev_f >> 8) & 255
+    opb, opa = (prev_f >> 16) & 255, (prev_f >> 24) & 255
+    ovr = _wrap8(ocr - opr)
+    ovg = _wrap8(ocg - opg)
+    ovb = _wrap8(ocb - opb)
+    ova = _wrap8(oca - opa)
+    ovg_r = _wrap8(ovr - ovg)
+    ovg_b = _wrap8(ovb - ovg)
+    oalpha = ova != 0
+
+    j = k - flush_o  # op-byte index
+    if compat:
+        ohash = (ocr * 3 + ocg * 5 + ocb * 7 + oca * 11) % spec.QOI_INDEX_SIZE
+        op_byte = jnp.select(
+            [
+                cls_o == _CL_INDEX,
+                (cls_o == _CL_DIFF),
+                (cls_o == _CL_LUMA) & (j == 0),
+                (cls_o == _CL_LUMA),
+                (cls_o == _CL_RGBA5) & (j == 0),
+                (cls_o == _CL_RGB4) & (j == 0),
+                j == 1,
+                j == 2,
+                j == 3,
+            ],
+            [
+                ohash,
+                spec.QOI_OP_DIFF | ((ovr + 2) << 4) | ((ovg + 2) << 2) | (ovb + 2),
+                spec.OP_LUMA | (ovg + 32),
+                ((ovg_r + 8) << 4) | (ovg_b + 8),
+                jnp.full_like(t, spec.OP_RGBA),
+                jnp.full_like(t, spec.OP_RGB),
+                ocr,
+                ocg,
+                ocb,
+            ],
+            oca,
+        )
+    elif colch == 3:
+        op_byte = jnp.select(
+            [
+                (cls_o == _CL_LUMA) & (j == 0),
+                (cls_o == _CL_LUMA) & (j == 1),
+                (cls_o == _CL_LUMA),
+                j == 0,
+                j == 1,
+                j == 2,
+                j == 3,
+            ],
+            [
+                spec.OP_LUMA | (ovg + 32),
+                ((ovg_r + 8) << 4) | (ovg_b + 8),
+                spec.OP_ALPHA | (ova + 16),
+                spec.OP_RGB | oalpha,
+                ocr,
+                ocg,
+                ocb,
+            ],
+            oca,
+        )
+    else:
+        op_byte = jnp.select(
+            [
+                (cls_o == _CL_MONO_GA) & (j == 0),
+                (cls_o == _CL_MONO_GA) & (j == 1),
+                (cls_o == _CL_MONO_GA),
+                (cls_o == _CL_LUMA),
+                j == 0,
+                j == 1,
+            ],
+            [
+                jnp.full_like(t, spec.OP_RGBA),
+                ocg,
+                oca,
+                spec.OP_LUMA | (ovg + 32),
+                spec.OP_RGB | oalpha,
+                ocg,
+            ],
+            oca,
+        )
+
+    byte = jnp.where(k < flush_o, _flush_byte(pend_o, k), op_byte)
+    byte = jnp.where(cls_o == _CL_NONE, spec.OP_BIGRUN, byte)
+    out = jnp.where(t < chunk_total, byte, 0).astype(jnp.uint8)
+
+    # --- trailing run + end marker ------------------------------------------
+    last_c = jnp.max(jnp.where(change, idx, -1))
+    trail_pending = ((n_valid - 1) - last_c) % maxrun
+    has_trail = (trail_pending > 0) & (n_valid > 0)
+    pad = jnp.asarray(np.frombuffer(spec.PADDING, dtype=np.uint8))
+    tail = jnp.where(
+        has_trail,
+        jnp.concatenate([jnp.array([spec.OP_BIGRUN], jnp.uint8), pad]),
+        jnp.concatenate([pad, jnp.zeros((1,), jnp.uint8)]),
+    )
+    out = jax.lax.dynamic_update_slice(out, tail, (chunk_total,))
+    total = chunk_total + 8 + has_trail.astype(jnp.int32)
+    return out, total

@@ -48,7 +48,7 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
         return out, jnp.zeros((data.shape[0],), bool)
     fn = functools.partial(
         decode_jax.decode_stream,
-        colch=colch, compat=False, out_ch=out_ch, n_max=n_max, max_ops=max_ops,
+        colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
     )
     return jax.vmap(fn)(data, chunks_len, n_pixels)
 
