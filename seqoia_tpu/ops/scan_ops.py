@@ -26,10 +26,31 @@ def _shift_right(x, k, fill):
     return jnp.pad(x, pad, constant_values=fill)[..., : x.shape[-1]]
 
 
+_PALLAS_TILE = 256 * 128
+
+
+def _pallas_ok(x) -> bool:
+    """Route big aligned scans through the single-pass Pallas tile-scan on
+    TPU backends; keep the XLA log-shift path on CPU (tests) and for small
+    or misaligned shapes."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return (
+        backend not in ("cpu",)
+        and x.shape[-1] % _PALLAS_TILE == 0
+    )
+
+
 def hillis_max(x, fill=None):
     """Inclusive running maximum along the last axis (log-shift scan)."""
     if fill is None:
         fill = np.iinfo(np.int32).min
+    if fill == np.iinfo(np.int32).min and _pallas_ok(x):
+        from . import pallas_scan
+
+        return pallas_scan.cummax(x)
     n = x.shape[-1]
     k = 1
     while k < n:
@@ -75,6 +96,10 @@ def blocked_cumsum(x, block: int = 512):
 def fill_forward(values, valid, init):
     """For each position, the `values` entry at the most recent position with
     ``valid`` true (or ``init`` before any). Log-shift segmented copy scan."""
+    if _pallas_ok(values):
+        from . import pallas_scan
+
+        return pallas_scan.fill_forward(values, valid, init)
     n = values.shape[-1]
     k = 1
     v, f = values, valid
@@ -118,6 +143,10 @@ def _compose(left, right):
 
 def compose_state_maps(maps):
     """Inclusive composition scan: out[i] = m_i ∘ ... ∘ m_0 (packed maps)."""
+    if _pallas_ok(maps):
+        from . import pallas_scan
+
+        return pallas_scan.compose_state_maps(maps)
     n = maps.shape[-1]
     k = 1
     while k < n:
@@ -174,6 +203,10 @@ def _seg_combine(left, right):
 
 def segmented_modsum(packed):
     """Inclusive segmented sum (mod 256) over packed channel pairs."""
+    if _pallas_ok(packed):
+        from . import pallas_scan
+
+        return pallas_scan.segmented_modsum(packed)
     n = packed.shape[-1]
     k = 1
     while k < n:
