@@ -60,7 +60,8 @@ def _token_lengths(b, colch: int, compat: bool):
 
 
 def _tokenize(b, chunks_len, colch: int, compat: bool):
-    """Token-start mask over byte positions."""
+    """Token-start mask over byte positions. chunks_len broadcasts against
+    the byte axis (scalar, or (B, 1) for batched input)."""
     start = spec.HEADER_SIZE + (0 if compat else 1)
     lens = _token_lengths(b, colch, compat)
     state = scan_ops.tokenizer_states(lens, start)
@@ -106,17 +107,27 @@ def _modifier_mask(b, token, colch: int, compat: bool):
     return alpha_tok & ((alpha_idx & 1) == want_parity)
 
 
+def _use_pallas_expand(m: int, n_max: int) -> bool:
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend != "cpu" and m % 32768 == 0 and n_max % 2048 == 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
 )
-def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
-    """Decode a SQOA (non-compat) stream. See module docstring.
+def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
+                          out_ch, n_max):
+    """Decode a batch of SQOA (non-compat) streams. See module docstring.
 
-    Returns (pixels (n_max, out_ch) uint8, has_ref flag)."""
+    data: (B, M) uint8; chunks_len, n_pixels: (B,) int32.
+    Returns (pixels (B, n_max, out_ch) uint8, has_ref (B,) bool)."""
     assert not compat, "use decode_stream_compat for QOI streams"
     b = data.astype(jnp.int32)
-    token, lens = _tokenize(b, chunks_len, colch, compat)
-    has_ref = jnp.any(token & (b < spec.OP_ALPHA))
+    token, lens = _tokenize(b, chunks_len[:, None], colch, compat)
+    has_ref = jnp.any(token & (b < spec.OP_ALPHA), axis=-1)
 
     is_mod = _modifier_mask(b, token, colch, compat)
     is_op = token & ~is_mod
@@ -177,27 +188,40 @@ def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
 
     packed = r_v | (g_v << 8) | (b_v << 16) | (a_v << 24)
 
-    # --- expansion: scatter op values at pixel offsets, forward-fill -------
+    # --- expansion: place op values at pixel offsets, forward-fill ---------
     valid_op = is_op & (npix > 0) & (pixoff < n_max)
-    # invalid entries get unique out-of-bounds targets (dropped by mode=drop)
-    # so the unique_indices contract holds
-    idx_b = jnp.arange(b.shape[-1], dtype=jnp.int32)
-    tgt = jnp.where(valid_op, pixoff, n_max + idx_b)
-    grid = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
-        packed, mode="drop", unique_indices=True
-    )
-    gridf = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
-        jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
-    )
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
-    filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
+    bsz, m = b.shape
+    if _use_pallas_expand(m, n_max):
+        from ..ops import pallas_compact
+
+        keys_c, pays_c, totals = pallas_compact.compact(
+            valid_op, pixoff, [packed]
+        )
+        filled = pallas_compact.place_fill(
+            keys_c, pays_c, totals, n_max,
+            (int(np.int32(np.uint32(255 << 24))),),
+        )[0]
+    else:
+        # XLA fallback: monotone unique scatter + log-shift forward fill;
+        # invalid entries get unique OOB targets (dropped by mode=drop)
+        idx_b = jnp.arange(m, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]
+        tgt = jnp.where(valid_op, pixoff, n_max + idx_b)
+        grid = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+            packed, mode="drop", unique_indices=True
+        )
+        gridf = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+            jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
+        )
+        filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
     r = filled & 255
     g = (filled >> 8) & 255
     bb = (filled >> 16) & 255
     a = (filled >> 24) & 255
 
-    t = jnp.arange(n_max, dtype=jnp.int32)
+    t = jnp.arange(n_max, dtype=jnp.int32)[None, :]
     if out_ch >= 3 and colch == 3:
         cols = [r, g, bb]
     elif out_ch >= 3:
@@ -206,6 +230,22 @@ def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
         cols = [g]
     if out_ch in (2, 4):
         cols.append(a)
-    out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
-    out = jnp.where((t < n_pixels)[:, None], out, 0)
+    out = jnp.stack(cols[:out_ch], axis=2).astype(jnp.uint8)
+    out = jnp.where((t < n_pixels[:, None])[:, :, None], out, 0)
     return out, has_ref
+
+
+@functools.partial(
+    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
+)
+def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
+    """Single-stream decode: (M,) uint8 -> ((n_max, out_ch) uint8, has_ref).
+
+    Thin wrapper over the batched kernel."""
+    out, has_ref = decode_stream_batched(
+        data[None, :],
+        jnp.asarray(chunks_len, jnp.int32)[None],
+        jnp.asarray(n_pixels, jnp.int32)[None],
+        colch=colch, compat=compat, out_ch=out_ch, n_max=n_max,
+    )
+    return out[0], has_ref[0]

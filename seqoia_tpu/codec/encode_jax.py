@@ -316,6 +316,7 @@ def encode(pixels, desc: spec.SqoaDesc) -> bytes | None:
             [rgba_np, np.zeros((n_pad - n, 4), np.int32)], axis=0
         )
     cap = n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1
+    cap = -(-cap // 2048) * 2048  # pallas spread tile multiple
     out, total = encode_stream(
         jnp.asarray(rgba_np),
         jnp.int32(n),

@@ -1,18 +1,17 @@
-"""TPU-native SQOA/QOI encoder, scan formulation v2 (gather-free).
+"""TPU-native SQOA/QOI encoder, scan formulation v2 (gather-free, batched).
 
-Same byte-exact contract as encode_jax (reference loop: seqoia.h:530-646),
+Same byte-exact contract as the reference loop (seqoia.h:530-646),
 re-architected for measured v5e behavior: no random gathers, prefix sums via
-blocked MXU matmuls / log-shift scans, and stream compaction inverted into
-an output-driven form:
+blocked MXU matmuls / log-shift scans (single-HBM-pass Pallas tile scans on
+TPU), and stream compaction inverted into an output-driven form:
 
-  * every *emitting* pixel scatters three packed fields (its color, its
-    predecessor's color, and run/flush metadata) to its stream offset —
-    monotone unique scatter;
-  * a log-shift forward-fill extends those fields across each pixel's byte
-    range;
+  * every *emitting* pixel contributes (offset, color, predecessor color,
+    run/flush metadata) — compacted and spread across each pixel's byte
+    range by the Pallas compact + place_fill engine (ops/pallas_compact.py;
+    XLA monotone scatter + log-shift fill as the CPU fallback);
   * each output byte position then computes its own value closed-form from
     the filled fields and its intra-emission index k (flush chunk bytes,
-    then op bytes).
+    then op bytes; chunking rules per seqoia.h:544-561,640-646).
 
 The QOI-compat hash-index resolution (last-writer-wins, seqoia.h:563-582)
 uses two lax.sort passes (sort by (hash,pos), neighbor shift, sort back by
@@ -30,7 +29,7 @@ import numpy as np
 from .. import spec
 from ..ops import scan_ops
 
-# op classes (3 bits in the aux word)
+# op classes (3 bits in the meta word)
 _CL_LUMA = 0      # SQOA luma (color: 2B +1 if alpha; mono: 1B)
 _CL_RGB = 1       # RGB fallback (color 4B +1 alpha; mono 2B +1)
 _CL_MONO_GA = 2   # mono gray+alpha 3B (0xff g a)
@@ -39,6 +38,8 @@ _CL_RGBA5 = 4     # compat full rgba 5B
 _CL_DIFF = 5      # compat diff 1B
 _CL_RGB4 = 6      # compat rgb 4B
 _CL_NONE = 7      # run-only pixel (BIGRUN byte or nothing)
+
+_INIT_PACKED = int(np.int32(np.uint32(255 << 24)))
 
 
 def _wrap8(x):
@@ -51,14 +52,16 @@ def _compat_found(packed, change, hashes):
     Slot content before pixel i is the color of the most recent change pixel
     j<i with the same hash (insert-on-every-miss, seqoia.h:563-582), zero if
     none (zeroed init table, seqoia.h:518)."""
-    n = packed.shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    bsz, n = packed.shape
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bsz, n))
     keys = jnp.where(change, hashes, jnp.int32(spec.QOI_INDEX_SIZE))
     sk, si, sp = jax.lax.sort((keys, idx, packed), num_keys=2)
     left_same = jnp.concatenate(
-        [jnp.zeros((1,), bool), sk[1:] == sk[:-1]]
+        [jnp.zeros((bsz, 1), bool), sk[:, 1:] == sk[:, :-1]], axis=1
     )
-    left_val = jnp.concatenate([jnp.zeros((1,), jnp.int32), sp[:-1]])
+    left_val = jnp.concatenate(
+        [jnp.zeros((bsz, 1), jnp.int32), sp[:, :-1]], axis=1
+    )
     found_sorted = jnp.where(left_same, left_val == sp, sp == 0)
     _, found = jax.lax.sort(
         (si, found_sorted.astype(jnp.int32)), num_keys=1
@@ -73,30 +76,43 @@ def _flush_byte(pending, k):
     return jnp.where(k >= n_full, spec.OP_RUN | (rem - 1), spec.OP_RUN | 60)
 
 
+def _use_pallas_spread(n: int, out_cap: int) -> bool:
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend != "cpu" and n % 32768 == 0 and out_cap % 2048 == 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("colch", "has_alpha", "compat", "out_cap"),
 )
-def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
-    """Encode normalized (N,4) int32 RGBA pixels into the chunk stream.
+def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
+                          out_cap):
+    """Encode a batch of normalized (B, N, 4) int32 RGBA pixel arrays.
 
-    Same contract as the v1 encoder: returns ((out_cap,) uint8 chunk bytes
-    + trailing BIGRUN + end marker, total byte count)."""
-    n = rgba.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < n_valid
+    Returns ((B, out_cap) uint8 chunk bytes + trailing BIGRUN + end marker,
+    (B,) totals)."""
+    bsz, n, _ = rgba.shape
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    valid = idx < n_valid[:, None]
     maxrun = spec.QOI_MAXRUN if compat else spec.SQOA_MAXRUN
 
-    cr, cg, cb, ca = rgba[:, 0], rgba[:, 1], rgba[:, 2], rgba[:, 3]
+    cr, cg, cb, ca = rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3]
     packed = cr | (cg << 8) | (cb << 16) | (ca << 24)
-    init = jnp.int32(np.int32(np.uint32(255 << 24)))
-    prev_packed = jnp.concatenate([jnp.full((1,), init), packed[:-1]])
+    init = jnp.int32(_INIT_PACKED)
+    prev_packed = jnp.concatenate(
+        [jnp.full((bsz, 1), init), packed[:, :-1]], axis=1
+    )
 
     same = (packed == prev_packed) & valid
     change = (~same) & valid
 
     last_change = scan_ops.hillis_max(jnp.where(change, idx, -1))
-    prev_change = jnp.concatenate([jnp.full((1,), -1), last_change[:-1]])
+    prev_change = jnp.concatenate(
+        [jnp.full((bsz, 1), -1), last_change[:, :-1]], axis=1
+    )
 
     seg_len = idx - 1 - prev_change
     pending = jnp.where(change, seg_len % maxrun, 0)
@@ -146,9 +162,7 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
         cls = jnp.select(
             [alpha_changed, luma_ok], [_CL_MONO_GA, _CL_LUMA], _CL_RGB
         )
-        op_len = jnp.select(
-            [alpha_changed, luma_ok], [3, 1], 2
-        )
+        op_len = jnp.select([alpha_changed, luma_ok], [3, 1], 2)
 
     total_len = jnp.where(
         change, flush_n + op_len, jnp.where(bigrun, 1, 0)
@@ -156,27 +170,39 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
     cls = jnp.where(change, cls, _CL_NONE)
 
     offsets = scan_ops.blocked_cumsum(total_len)
-    chunk_total = offsets[-1]
+    chunk_total = offsets[:, -1]
     offsets = offsets - total_len  # exclusive
 
-    # --- scatter emission fields to stream offsets --------------------------
+    # --- spread emission fields across each pixel's byte range -------------
     emit = total_len > 0
-    tgt = jnp.where(emit, offsets, out_cap + idx)  # unique OOB for dropped
-
-    def scat(vals):
-        return jnp.zeros((out_cap,), jnp.int32).at[tgt].set(
-            vals, mode="drop", unique_indices=True
-        )
-
-    emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
     meta = pending | (flush_n << 9) | (cls << 13)
-    cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
-    prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
-    meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
-    off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
+    if _use_pallas_spread(n, out_cap):
+        from ..ops import pallas_compact
+
+        keys_c, pays_c, totals_c = pallas_compact.compact(
+            emit, offsets, [packed, prev_packed, meta]
+        )
+        cur_f, prev_f, meta_f, off_f = pallas_compact.place_fill(
+            keys_c, pays_c + [keys_c], totals_c, out_cap,
+            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+        )
+    else:
+        rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]
+        tgt = jnp.where(emit, offsets, out_cap + idx)
+
+        def scat(vals):
+            return jnp.zeros((bsz, out_cap), jnp.int32).at[rows, tgt].set(
+                vals, mode="drop", unique_indices=True
+            )
+
+        emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
+        cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
+        prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
+        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
+        off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
 
     # --- per-output-byte computation ----------------------------------------
-    t = jnp.arange(out_cap, dtype=jnp.int32)
+    t = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
     k = t - off_f
     pend_o = meta_f & 0x1FF
     flush_o = (meta_f >> 9) & 0xF
@@ -200,9 +226,9 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
         op_byte = jnp.select(
             [
                 cls_o == _CL_INDEX,
-                (cls_o == _CL_DIFF),
+                cls_o == _CL_DIFF,
                 (cls_o == _CL_LUMA) & (j == 0),
-                (cls_o == _CL_LUMA),
+                cls_o == _CL_LUMA,
                 (cls_o == _CL_RGBA5) & (j == 0),
                 (cls_o == _CL_RGB4) & (j == 0),
                 j == 1,
@@ -214,8 +240,8 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
                 spec.QOI_OP_DIFF | ((ovr + 2) << 4) | ((ovg + 2) << 2) | (ovb + 2),
                 spec.OP_LUMA | (ovg + 32),
                 ((ovg_r + 8) << 4) | (ovg_b + 8),
-                jnp.full_like(t, spec.OP_RGBA),
-                jnp.full_like(t, spec.OP_RGB),
+                jnp.full_like(k, spec.OP_RGBA),
+                jnp.full_like(k, spec.OP_RGB),
                 ocr,
                 ocg,
                 ocb,
@@ -227,7 +253,7 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
             [
                 (cls_o == _CL_LUMA) & (j == 0),
                 (cls_o == _CL_LUMA) & (j == 1),
-                (cls_o == _CL_LUMA),
+                cls_o == _CL_LUMA,
                 j == 0,
                 j == 1,
                 j == 2,
@@ -249,13 +275,13 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
             [
                 (cls_o == _CL_MONO_GA) & (j == 0),
                 (cls_o == _CL_MONO_GA) & (j == 1),
-                (cls_o == _CL_MONO_GA),
-                (cls_o == _CL_LUMA),
+                cls_o == _CL_MONO_GA,
+                cls_o == _CL_LUMA,
                 j == 0,
                 j == 1,
             ],
             [
-                jnp.full_like(t, spec.OP_RGBA),
+                jnp.full_like(k, spec.OP_RGBA),
                 ocg,
                 oca,
                 spec.OP_LUMA | (ovg + 32),
@@ -267,18 +293,37 @@ def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
 
     byte = jnp.where(k < flush_o, _flush_byte(pend_o, k), op_byte)
     byte = jnp.where(cls_o == _CL_NONE, spec.OP_BIGRUN, byte)
-    out = jnp.where(t < chunk_total, byte, 0).astype(jnp.uint8)
 
-    # --- trailing run + end marker ------------------------------------------
-    last_c = jnp.max(jnp.where(change, idx, -1))
+    # --- trailing run + end marker (branchless, batched) ---------------------
+    last_c = jnp.max(jnp.where(change, idx, -1), axis=-1)
     trail_pending = ((n_valid - 1) - last_c) % maxrun
     has_trail = (trail_pending > 0) & (n_valid > 0)
-    pad = jnp.asarray(np.frombuffer(spec.PADDING, dtype=np.uint8))
-    tail = jnp.where(
-        has_trail,
-        jnp.concatenate([jnp.array([spec.OP_BIGRUN], jnp.uint8), pad]),
-        jnp.concatenate([pad, jnp.zeros((1,), jnp.uint8)]),
-    )
-    out = jax.lax.dynamic_update_slice(out, tail, (chunk_total,))
     total = chunk_total + 8 + has_trail.astype(jnp.int32)
+
+    tail_pos = t - chunk_total[:, None]  # 0..8 within the tail region
+    in_tail = (tail_pos >= 0) & (t < total[:, None])
+    fd_at = jnp.where(has_trail[:, None], 0, -1)
+    one_at = jnp.where(has_trail[:, None], 8, 7)
+    tail_byte = jnp.where(
+        tail_pos == fd_at,
+        spec.OP_BIGRUN,
+        jnp.where(tail_pos == one_at, 1, 0),
+    )
+    out = jnp.where(in_tail, tail_byte, byte)
+    out = jnp.where(t < total[:, None], out, 0).astype(jnp.uint8)
     return out, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("colch", "has_alpha", "compat", "out_cap"),
+)
+def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
+    """Single-image encode: (N, 4) int32 -> ((out_cap,) uint8, total).
+
+    Thin wrapper over the batched kernel."""
+    out, total = encode_stream_batched(
+        rgba[None], jnp.asarray(n_valid, jnp.int32)[None],
+        colch=colch, has_alpha=has_alpha, compat=compat, out_cap=out_cap,
+    )
+    return out[0], total[0]

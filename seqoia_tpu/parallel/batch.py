@@ -46,11 +46,12 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
         )
         out = jax.vmap(fn)(data, chunks_len, n_pixels)
         return out, jnp.zeros((data.shape[0],), bool)
-    fn = functools.partial(
-        decode_jax.decode_stream,
+    from ..codec import decode_v2
+
+    return decode_v2.decode_stream_batched(
+        data, chunks_len, n_pixels,
         colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
     )
-    return jax.vmap(fn)(data, chunks_len, n_pixels)
 
 
 @dataclasses.dataclass
@@ -143,11 +144,12 @@ class BatchDecoder:
     jax.jit, static_argnames=("colch", "has_alpha", "compat", "out_cap")
 )
 def _encode_batch_kernel(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
-    fn = functools.partial(
-        encode_jax.encode_stream,
+    from ..codec import encode_v2
+
+    return encode_v2.encode_stream_batched(
+        rgba, n_valid,
         colch=colch, has_alpha=has_alpha, compat=compat, out_cap=out_cap,
     )
-    return jax.vmap(fn)(rgba, n_valid)
 
 
 class BatchEncoder:
@@ -173,6 +175,7 @@ class BatchEncoder:
             b_pad = -(-b // n_dev) * n_dev
             norm_ch = colch + has_alpha
             cap = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
+            cap = -(-cap // 2048) * 2048  # pallas spread tile multiple
             rgba = np.zeros((b_pad, n_pad, 4), np.int32)
             nval = np.zeros((b_pad,), np.int32)
             for j, (_, pix, desc) in enumerate(items):

@@ -39,21 +39,36 @@ def _screenshot(rng, w, h):
 
 
 def _photo(rng, w, h):
+    """Photo-like content: smooth gradients + spatially-correlated grain.
+
+    Tuned so the SQOA rate lands near the reference's photo corpora
+    (photo_kodak ~58%, BASELINE.md) — mostly LUMA-codable deltas with
+    occasional RGB escapes."""
     yy, xx = np.mgrid[0:h, 0:w]
     base = np.stack(
         [
-            120 + 80 * np.sin(xx / (20 + rng.integers(1, 30))),
-            120 + 80 * np.cos(yy / (15 + rng.integers(1, 30))),
-            120 + 80 * np.sin((xx + yy) / (25 + rng.integers(1, 30))),
+            120 + 80 * np.sin(xx / (40 + rng.integers(1, 40))),
+            120 + 80 * np.cos(yy / (30 + rng.integers(1, 40))),
+            120 + 80 * np.sin((xx + yy) / (50 + rng.integers(1, 40))),
         ],
         axis=-1,
     )
-    noise = rng.normal(0, 6, (h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    # grain: shared luminance noise (LUMA's green delta window is ±32) with
+    # small chroma offsets (dr-dg/db-dg windows are only ±8)
+    luma = rng.normal(0, 7, (h, w, 1))
+    chroma = rng.normal(0, 1.2, (h, w, 3))
+    return np.clip(base + luma + chroma, 0, 255).astype(np.uint8)
 
 
 def _texture(rng, w, h):
-    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    """Game-texture-like: quantized correlated pattern (reference textures
+    land near 35% rate, bench10.txt:8)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 96 + 64 * np.sin(xx / 3.1) * np.cos(yy / 2.7)
+    luma = rng.normal(0, 18, (h, w, 1))
+    luma = (luma + np.roll(luma, 1, 1)) / 2
+    img = base[..., None] + luma + rng.normal(0, 2, (h, w, 3))
+    return (np.clip(img, 0, 255).astype(np.uint8) // 8) * 8
 
 
 def make_corpus(scale: float = 1.0, seed: int = 0):
