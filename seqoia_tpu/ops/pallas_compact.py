@@ -268,12 +268,14 @@ def _place_kernel(n_pay, p_out, win, inits, *refs):
     keys_ref = refs[3]
     pay_refs = refs[4 : 4 + n_pay]
     out_refs = refs[4 + n_pay : 4 + 2 * n_pay]
-    kbuf = refs[4 + 2 * n_pay]                       # SMEM (1, win)
-    pbufs = refs[5 + 2 * n_pay : 5 + 3 * n_pay]      # SMEM (1, win)
-    vbufs = refs[5 + 3 * n_pay : 5 + 4 * n_pay]      # VMEM (rows, L)
-    fbuf = refs[5 + 4 * n_pay]
-    carry = refs[6 + 4 * n_pay]
-    sem = refs[7 + 4 * n_pay]
+    kbuf = refs[4 + 2 * n_pay]                       # SMEM (win/L, L)
+    pbufs = refs[5 + 2 * n_pay : 5 + 3 * n_pay]      # SMEM (win/L, L)
+    kvv = refs[5 + 3 * n_pay]                        # VMEM window copies
+    pvvs = refs[6 + 3 * n_pay : 6 + 4 * n_pay]
+    vbufs = refs[6 + 4 * n_pay : 6 + 5 * n_pay]      # VMEM (rows, L)
+    fbuf = refs[6 + 5 * n_pay]
+    carry = refs[7 + 5 * n_pay]
+    sem = refs[8 + 5 * n_pay]
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -292,17 +294,19 @@ def _place_kernel(n_pay, p_out, win, inits, *refs):
     lo_row = lo // _L
     jmax = jnp.minimum(hi - lo_row * _L, win)
 
-    cp = pltpu.make_async_copy(
-        keys_ref.at[bi, pl.ds(lo_row, win // _L), :], kbuf, sem
-    )
-    cp.start()
-    cp.wait()
-    for pr, pb in zip(pay_refs, pbufs):
+    for dst in (kbuf, kvv):
         cp = pltpu.make_async_copy(
-            pr.at[bi, pl.ds(lo_row, win // _L), :], pb, sem
+            keys_ref.at[bi, pl.ds(lo_row, win // _L), :], dst, sem
         )
         cp.start()
         cp.wait()
+    for pr, pb, pv in zip(pay_refs, pbufs, pvvs):
+        for dst in (pb, pv):
+            cp = pltpu.make_async_copy(
+                pr.at[bi, pl.ds(lo_row, win // _L), :], dst, sem
+            )
+            cp.start()
+            cp.wait()
 
     base = t * p_out
     for vb in vbufs:
@@ -313,34 +317,95 @@ def _place_kernel(n_pay, p_out, win, inits, *refs):
     zero_row = jnp.zeros((1, _L), jnp.int32)
 
     # Valid taus are non-decreasing, so the target row only moves forward;
-    # accumulate the current row in registers and store once on advance.
-    def body(j, state):
-        cur_row, curf, *curv = state
-        key = kbuf[j // _L, j % _L]
-        tau = key - base
-        ok = (lo_row * _L + j < total) & (tau >= 0) & (tau < p_out)
-        r = jnp.where(ok, tau // _L, cur_row)
-        l = tau % _L
-        advance = ok & (r > cur_row)
+    # the current row accumulates in registers and each buffer row is
+    # stored exactly once. Two paths per 128-entry window row:
+    #   fast: the row holds 128 consecutive real keys (pixel-per-token
+    #   stretches — LUMA chains, RGB regions) -> one dynamic roll places
+    #   all 128 lanes across (at most) two output rows;
+    #   slow: scalar per-entry loop (runs 0 iterations when fast applies).
+    def row_body(jr, state):
+        row_off = jr * _L
+        n_here = jnp.clip(jmax - row_off, 0, _L)
+        first = kbuf[jr, 0]
+        tau0 = first - base
+        kv = kvv[pl.ds(jr, 1), :]
+        consec = jnp.all(kv == first + lane_1l)
+        all_real = (lo_row * _L + row_off + _L - 1) < total
+        u = (
+            (n_here == _L) & all_real & consec
+            & (tau0 >= 0) & (tau0 + _L - 1 < p_out)
+        )
 
-        @pl.when(advance)
+        # slow path: per-entry loop (skipped entirely when u)
+        def body(jj, st):
+            cur_row, curf, *curv = st
+            j = row_off + jj
+            key = kbuf[j // _L, j % _L]
+            tau = key - base
+            ok = (lo_row * _L + j < total) & (tau >= 0) & (tau < p_out)
+            r = jnp.where(ok, tau // _L, cur_row)
+            l = tau % _L
+            advance = ok & (r > cur_row)
+
+            @pl.when(advance)
+            def _():
+                fbuf[pl.ds(cur_row, 1), :] = curf
+                for vb, cv in zip(vbufs, curv):
+                    vb[pl.ds(cur_row, 1), :] = cv
+
+            base_f = jnp.where(advance, zero_row, curf)
+            base_v = [jnp.where(advance, zero_row, cv) for cv in curv]
+            hit = ok & (lane_1l == l)
+            newf = jnp.where(hit, 1, base_f)
+            newv = [
+                jnp.where(hit, pb[j // _L, j % _L], bv)
+                for pb, bv in zip(pbufs, base_v)
+            ]
+            return (jnp.where(ok, r, cur_row), newf, *newv)
+
+        state = jax.lax.fori_loop(
+            0, jnp.where(u, 0, n_here), body, state
+        )
+        cur_row, curf, *curv = state
+
+        # fast path: place [tau0, tau0+128) via roll, spanning rows r0/r0+1
+        r0 = tau0 // _L
+        sh = tau0 % _L
+        rolled = [pltpu.roll(pv[pl.ds(jr, 1), :], sh, 1) for pv in pvvs]
+        p0f = jnp.where(lane_1l >= sh, 1, 0)
+        p1f = jnp.where(lane_1l < sh, 1, 0)
+
+        flush_old = u & (r0 > cur_row)
+
+        @pl.when(flush_old)
         def _():
             fbuf[pl.ds(cur_row, 1), :] = curf
             for vb, cv in zip(vbufs, curv):
                 vb[pl.ds(cur_row, 1), :] = cv
 
-        base_f = jnp.where(advance, zero_row, curf)
-        base_v = [jnp.where(advance, zero_row, cv) for cv in curv]
-        hit = ok & (lane_1l == l)
-        newf = jnp.where(hit, 1, base_f)
-        newv = [
-            jnp.where(hit, pb[j // _L, j % _L], bv)
-            for pb, bv in zip(pbufs, base_v)
+        bf = jnp.where(flush_old, zero_row, curf)
+        bv = [jnp.where(flush_old, zero_row, cv) for cv in curv]
+        m0f = jnp.where(p0f != 0, 1, bf)
+        m0v = [jnp.where(p0f != 0, rv, b) for rv, b in zip(rolled, bv)]
+        has_p1 = u & (sh > 0)
+
+        @pl.when(has_p1)
+        def _():
+            fbuf[pl.ds(r0, 1), :] = m0f
+            for vb, mv in zip(vbufs, m0v):
+                vb[pl.ds(r0, 1), :] = mv
+
+        new_row = jnp.where(u, jnp.where(sh > 0, r0 + 1, r0), cur_row)
+        new_f = jnp.where(u, jnp.where(sh > 0, p1f, m0f), curf)
+        new_v = [
+            jnp.where(u, jnp.where(sh > 0, jnp.where(p1f != 0, rv, 0), mv), cv)
+            for rv, mv, cv in zip(rolled, m0v, curv)
         ]
-        return (jnp.where(ok, r, cur_row), newf, *newv)
+        return (new_row, new_f, *new_v)
 
     state = jax.lax.fori_loop(
-        0, jmax, body, (0, zero_row, *([zero_row] * n_pay))
+        0, (jmax + _L - 1) // _L, row_body,
+        (0, zero_row, *([zero_row] * n_pay)),
     )
     fin_row, fin_f, *fin_v = state
     fbuf[pl.ds(fin_row, 1), :] = fin_f
@@ -409,6 +474,7 @@ def _place_fill_call(lo, hi, totals, keys, pays, n_pay, n_out, p_out, win,
         ] * n_pay,
         scratch_shapes=(
             [pltpu.SMEM((win // _L, _L), jnp.int32)] * (1 + n_pay)
+            + [pltpu.VMEM((win // _L, _L), jnp.int32)] * (1 + n_pay)
             + [pltpu.VMEM((rows, _L), jnp.int32)] * (n_pay + 1)
             + [pltpu.SMEM((n_pay,), jnp.int32), pltpu.SemaphoreType.DMA]
         ),
