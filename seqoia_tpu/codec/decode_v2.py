@@ -116,13 +116,16 @@ def _use_pallas_expand(m: int, n_max: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
+    jax.jit,
+    static_argnames=("colch", "compat", "out_ch", "n_max", "expand"),
 )
 def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
-                          out_ch, n_max):
+                          out_ch, n_max, expand="auto"):
     """Decode a batch of SQOA (non-compat) streams. See module docstring.
 
     data: (B, M) uint8; chunks_len, n_pixels: (B,) int32.
+    expand="xla" forces the scatter-based expansion (required when running
+    under GSPMD sharding, which cannot partition the Pallas engine).
     Returns (pixels (B, n_max, out_ch) uint8, has_ref (B,) bool)."""
     assert not compat, "use decode_stream_compat for QOI streams"
     b = data.astype(jnp.int32)
@@ -192,7 +195,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     valid_op = is_op & (npix > 0) & (pixoff < n_max)
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
     bsz, m = b.shape
-    if _use_pallas_expand(m, n_max):
+    if expand != "xla" and _use_pallas_expand(m, n_max):
         from ..ops import pallas_compact
 
         keys_c, pays_c, totals = pallas_compact.compact(
@@ -201,6 +204,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         filled = pallas_compact.place_fill(
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
+            p_out=4096 if n_max % 4096 == 0 else 2048,
         )[0]
     else:
         # XLA fallback: monotone unique scatter + log-shift forward fill;

@@ -86,10 +86,10 @@ def _use_pallas_spread(n: int, out_cap: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("colch", "has_alpha", "compat", "out_cap"),
+    static_argnames=("colch", "has_alpha", "compat", "out_cap", "spread"),
 )
 def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
-                          out_cap):
+                          out_cap, spread="auto"):
     """Encode a batch of normalized (B, N, 4) int32 RGBA pixel arrays.
 
     Returns ((B, out_cap) uint8 chunk bytes + trailing BIGRUN + end marker,
@@ -176,7 +176,7 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     # --- spread emission fields across each pixel's byte range -------------
     emit = total_len > 0
     meta = pending | (flush_n << 9) | (cls << 13)
-    if _use_pallas_spread(n, out_cap):
+    if spread != "xla" and _use_pallas_spread(n, out_cap):
         from ..ops import pallas_compact
 
         keys_c, pays_c, totals_c = pallas_compact.compact(

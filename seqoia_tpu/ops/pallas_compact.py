@@ -294,19 +294,28 @@ def _place_kernel(n_pay, p_out, win, inits, *refs):
     lo_row = lo // _L
     jmax = jnp.minimum(hi - lo_row * _L, win)
 
+    # all window DMAs are independent: issue together, then drain (one
+    # semaphore slot per copy)
+    copies = []
     for dst in (kbuf, kvv):
-        cp = pltpu.make_async_copy(
-            keys_ref.at[bi, pl.ds(lo_row, win // _L), :], dst, sem
+        copies.append(
+            pltpu.make_async_copy(
+                keys_ref.at[bi, pl.ds(lo_row, win // _L), :], dst,
+                sem.at[len(copies)],
+            )
         )
-        cp.start()
-        cp.wait()
     for pr, pb, pv in zip(pay_refs, pbufs, pvvs):
         for dst in (pb, pv):
-            cp = pltpu.make_async_copy(
-                pr.at[bi, pl.ds(lo_row, win // _L), :], dst, sem
+            copies.append(
+                pltpu.make_async_copy(
+                    pr.at[bi, pl.ds(lo_row, win // _L), :], dst,
+                    sem.at[len(copies)],
+                )
             )
-            cp.start()
-            cp.wait()
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
 
     base = t * p_out
     for vb in vbufs:
@@ -476,7 +485,10 @@ def _place_fill_call(lo, hi, totals, keys, pays, n_pay, n_out, p_out, win,
             [pltpu.SMEM((win // _L, _L), jnp.int32)] * (1 + n_pay)
             + [pltpu.VMEM((win // _L, _L), jnp.int32)] * (1 + n_pay)
             + [pltpu.VMEM((rows, _L), jnp.int32)] * (n_pay + 1)
-            + [pltpu.SMEM((n_pay,), jnp.int32), pltpu.SemaphoreType.DMA]
+            + [
+                pltpu.SMEM((n_pay,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2 * (1 + n_pay),)),
+            ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(

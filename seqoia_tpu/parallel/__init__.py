@@ -2,6 +2,7 @@
 
 from .batch import BatchDecoder, BatchEncoder, corpus_decode, corpus_encode
 from .mesh import batch_sharding, default_mesh
+from .tiled import decode_large, encode_large
 
 __all__ = [
     "BatchDecoder",
@@ -10,4 +11,6 @@ __all__ = [
     "corpus_encode",
     "default_mesh",
     "batch_sharding",
+    "encode_large",
+    "decode_large",
 ]
