@@ -34,6 +34,12 @@ def _pow2(x):
     return 1 << max(int(x) - 1, 1).bit_length()
 
 
+def _bucket(x, mult=32768):
+    """Round up to a tile multiple — tighter than pow2 (less padded work),
+    still few distinct shapes per corpus."""
+    return max(-(-int(x) // mult) * mult, mult)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -61,10 +67,10 @@ def main():
     enc_buckets = defaultdict(list)
     for i, ((pix, w, h, ch), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
-        m_pad = max(_pow2(len(stream)), 32768)
-        n_max = max(_pow2(w * h), 2048)
+        m_pad = _bucket(len(stream))
+        n_max = _bucket(w * h, 4096)
         dec_buckets[(desc.col_channels, desc.norm_channels, m_pad, n_max)].append(i)
-        n_pad = max(_pow2(w * h), 32768)
+        n_pad = _bucket(w * h)
         enc_buckets[(desc.col_channels, desc.has_alpha, n_pad)].append(i)
 
     sync = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))

@@ -128,6 +128,27 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     under GSPMD sharding, which cannot partition the Pallas engine).
     Returns (pixels (B, n_max, out_ch) uint8, has_ref (B,) bool)."""
     assert not compat, "use decode_stream_compat for QOI streams"
+    bsz0, m0 = data.shape
+    if (
+        expand != "xla" and colch == 3
+        and _use_pallas_expand(m0, n_max)
+    ):
+        # fully-fused front-end + compaction engine (hot path)
+        from ..ops import pallas_compact, pallas_frontend
+
+        valid_op, pixoff, packed, ref_flag = pallas_frontend.decode_frontend(
+            data, chunks_len, n_max
+        )
+        keys_c, pays_c, totals = pallas_compact.compact(
+            valid_op, pixoff, [packed]
+        )
+        filled = pallas_compact.place_fill(
+            keys_c, pays_c, totals, n_max,
+            (int(np.int32(np.uint32(255 << 24))),),
+            p_out=4096 if n_max % 4096 == 0 else 2048,
+        )[0]
+        return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), ref_flag != 0
+
     b = data.astype(jnp.int32)
     token, lens = _tokenize(b, chunks_len[:, None], colch, compat)
     has_ref = jnp.any(token & (b < spec.OP_ALPHA), axis=-1)
@@ -220,6 +241,10 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         )
         filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
+    return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), has_ref
+
+
+def _emit_pixels(filled, n_pixels, colch, out_ch, n_max):
     r = filled & 255
     g = (filled >> 8) & 255
     bb = (filled >> 16) & 255
@@ -236,7 +261,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         cols.append(a)
     out = jnp.stack(cols[:out_ch], axis=2).astype(jnp.uint8)
     out = jnp.where((t < n_pixels[:, None])[:, :, None], out, 0)
-    return out, has_ref
+    return out
 
 
 @functools.partial(
