@@ -108,6 +108,10 @@ def _modifier_mask(b, token, colch: int, compat: bool):
 
 
 def _use_pallas_expand(m: int, n_max: int) -> bool:
+    import os
+
+    if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
+        return m % 32768 == 0 and n_max % 2048 == 0
     try:
         backend = jax.default_backend()
     except RuntimeError:

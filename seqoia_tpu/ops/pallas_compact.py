@@ -34,6 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# CPU-testing hook: run these kernels through the Pallas interpreter so the
+# (otherwise TPU-only) code paths are exercised by the CPU test-suite.
+_INTERPRET = os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1"
+
 _L = 128
 _ROWS = 256              # 128-blocks per compaction tile
 _TILE = _ROWS * _L       # 32768 entries
@@ -232,6 +238,7 @@ def _compact_call(valid, key, payloads, n_pay):
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
     )(
         valid.astype(jnp.int32).reshape(b, t * _ROWS, _L),
         key.reshape(b, t * _ROWS, _L),
@@ -491,6 +498,7 @@ def _place_fill_call(lo, hi, totals, keys, pays, n_pay, n_out, p_out, win,
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
     )(
         lo, hi, totals,
         keys.reshape(keys.shape[0], -1, _L),

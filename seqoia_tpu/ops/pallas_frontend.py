@@ -26,6 +26,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# CPU-testing hook: run these kernels through the Pallas interpreter so the
+# (otherwise TPU-only) code paths are exercised by the CPU test-suite.
+_INTERPRET = os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1"
+
 from .. import spec
 
 _L = 128
@@ -328,6 +334,7 @@ def decode_frontend(data, chunks_len, n_max):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
     )(d32, chunks_len)
     return (
         valid.reshape(b, m) != 0,

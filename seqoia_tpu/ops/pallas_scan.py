@@ -22,6 +22,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
+# CPU-testing hook: run these kernels through the Pallas interpreter so the
+# (otherwise TPU-only) code paths are exercised by the CPU test-suite.
+_INTERPRET = os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1"
+
 _LANES = 128
 
 
@@ -110,6 +116,7 @@ def _tile_scan_call(xs, combine, identities, rows):
         out_specs=[spec] * n_arrays,
         out_shape=[jax.ShapeDtypeStruct((b, t, r, l), jnp.int32)] * n_arrays,
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)] * n_arrays,
+        interpret=_INTERPRET,
     )(*xs)
     return outs
 

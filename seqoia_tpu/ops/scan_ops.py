@@ -33,6 +33,10 @@ def _pallas_ok(x) -> bool:
     """Route big aligned scans through the single-pass Pallas tile-scan on
     TPU backends; keep the XLA log-shift path on CPU (tests) and for small
     or misaligned shapes."""
+    import os
+
+    if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
+        return x.shape[-1] % _PALLAS_TILE == 0
     try:
         backend = jax.default_backend()
     except RuntimeError:

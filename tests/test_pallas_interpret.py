@@ -1,0 +1,69 @@
+"""Exercise the TPU Pallas kernels on CPU via the Pallas interpreter.
+
+The fused kernels (tile scans, compaction engine, decode front-end) only
+activate on TPU backends; these tests force them through interpret mode so
+the CPU suite covers their logic. Interpret mode is slow, so shapes are the
+minimum tile size.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+# Run in a subprocess so the env flag is set before modules load/trace.
+_SCRIPT = r"""
+import os
+os.environ["SEQOIA_PALLAS_INTERPRET"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import seqoia_tpu as sq
+from seqoia_tpu import native
+from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
+import jax.numpy as jnp
+
+rng = np.random.default_rng(0)
+w, h = 256, 128  # 32768 pixels; stream spans 2 tiles (exercises carries)
+luma = np.cumsum(rng.integers(-6, 7, (w * h, 1)), 0)
+chroma = rng.integers(-2, 3, (w * h, 3))
+pix = ((128 + luma + chroma) % 256).astype(np.uint8)
+pix[1000:3000] = pix[1000]  # long run -> BIGRUN + slow-path rows
+stream = native.encode(pix.ravel(), w, h, 3, 0, 0)
+
+m_pad = 65536
+assert len(stream) <= m_pad, len(stream)
+buf = np.zeros((1, m_pad), np.uint8)
+buf[0, : len(stream)] = np.frombuffer(stream, np.uint8)
+out, has_ref = decode_v2.decode_stream_batched(
+    jnp.asarray(buf), jnp.asarray([len(stream) - 8], jnp.int32),
+    jnp.asarray([w * h], jnp.int32),
+    colch=3, compat=False, out_ch=3, n_max=w * h,
+)
+got = np.asarray(out[0]).reshape(-1)
+assert np.array_equal(got, pix.ravel()), "interpret decode mismatch"
+assert not bool(np.asarray(has_ref)[0])
+
+rgba = encode_jax.normalize_pixels(pix.ravel(), sq.SqoaDesc(w, h, 3, 0, 0))
+cap = -(-(w * h * 4 + 9) // 2048) * 2048
+eo, et = encode_v2.encode_stream_batched(
+    jnp.asarray(rgba)[None], jnp.asarray([w * h], jnp.int32),
+    colch=3, has_alpha=False, compat=False, out_cap=cap,
+)
+got = bytes(np.asarray(eo[0])[: int(et[0])])
+assert got == stream[15:], "interpret encode mismatch"
+print("INTERPRET-OK")
+"""
+
+
+@pytest.mark.slow
+def test_pallas_kernels_interpret_mode():
+    env = dict(os.environ)
+    env["SEQOIA_PALLAS_INTERPRET"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    res = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], env=env,
+        capture_output=True, text=True, timeout=3000,
+    )
+    assert "INTERPRET-OK" in res.stdout, res.stdout + res.stderr
