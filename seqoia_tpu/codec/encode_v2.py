@@ -189,6 +189,7 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
         cur_f, prev_f, meta_f, off_f = pallas_compact.place_fill(
             keys_c, pays_c + [keys_c], totals_c, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            p_out=4096 if out_cap % 4096 == 0 else 2048,
         )
     else:
         rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]

@@ -174,8 +174,6 @@ class BatchEncoder:
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             norm_ch = colch + has_alpha
-            cap = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
-            cap = -(-cap // 2048) * 2048  # pallas spread tile multiple
             rgba = np.zeros((b_pad, n_pad, 4), np.int32)
             nval = np.zeros((b_pad,), np.int32)
             for j, (_, pix, desc) in enumerate(items):
@@ -184,12 +182,23 @@ class BatchEncoder:
             args = jax.device_put(
                 (jnp.asarray(rgba), jnp.asarray(nval)), (sharding, sharding)
             )
-            out, totals = _encode_batch_kernel(
-                *args, colch=colch, has_alpha=has_alpha, compat=compat,
-                out_cap=int(cap),
-            )
+            # Heuristic output cap (typical rates are well under 1 B/px;
+            # worst case is norm_ch+1) with overflow retry: the kernels
+            # clip writes at out_cap, and totals reveal which images need
+            # the full-size pass.
+            worst = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
+            cap = min(-(-(worst * 3 // 4) // 2048) * 2048,
+                      -(-worst // 2048) * 2048)
+            for attempt in range(2):
+                out, totals = _encode_batch_kernel(
+                    *args, colch=colch, has_alpha=has_alpha, compat=compat,
+                    out_cap=int(cap),
+                )
+                totals = np.asarray(totals)
+                if (totals <= cap).all() or attempt == 1:
+                    break
+                cap = -(-worst // 2048) * 2048
             out = np.asarray(out)
-            totals = np.asarray(totals)
             for j, (i, pix, desc) in enumerate(items):
                 results[i] = (
                     spec.pack_header(desc) + out[j, : totals[j]].tobytes()
