@@ -1,0 +1,183 @@
+"""In-kernel building blocks shared by the Pallas codec kernels.
+
+All functions here operate on traced register values of shape (rows, 128)
+inside a Pallas TPU kernel, treating them as flat row-major vectors of
+rows*128 elements. They encode the Mosaic lowering rules probe-validated on
+v5e: only `pltpu.roll` (non-negative shifts) for data movement, iota masks
+for boundary fills, and log-step shift networks instead of gathers.
+
+The butterfly compact/expand networks replace sequential packing loops:
+
+* ``butterfly_compact``: entries at flat positions p (holes marked d = -1,
+  entries d = p - rank(p) >= 0) move LEFT by bit k of d at stage k,
+  LSB-first. Distances are monotone non-decreasing over entries (rank is a
+  prefix count), which makes every stage collision-free: two entries at
+  positions j < j' satisfy d' - d <= j' - j, so their partial positions
+  j - (d mod 2^{k+1}) stay distinct (proved + fuzzed in round 2 notes).
+
+* ``butterfly_expand``: dense entries j < m with strictly increasing
+  targets tau_j >= j move RIGHT by bit k of d = tau - j, MSB-first — the
+  exact inverse network of compaction, so it inherits collision-freedom.
+
+Both replace the reference codec's sequential emission/placement loops
+(seqoia.h:530-646, 722-806) with O(log n) vectorized stages.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+_L = 128
+_INT_MIN = -(2**31)
+
+
+def iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def extract(x, r, l):
+    """Scalar at fixed (r, l) of a vector value via positional reduction."""
+    row = iota2(x.shape, 0)
+    lane = iota2(x.shape, 1)
+    return jnp.max(jnp.where((row == r) & (lane == l), x, _INT_MIN))
+
+
+def extract_flat(x, pos):
+    """Scalar at dynamic flat position `pos` (row-major)."""
+    rows = x.shape[0]
+    flat = iota2(x.shape, 0) * _L + iota2(x.shape, 1)
+    return jnp.max(jnp.where(flat == pos, x, _INT_MIN))
+
+
+def flat_roll_left(x, s):
+    """out[p] = x[(p + s) mod n] over flat row-major (rows, L); s in [1, n)."""
+    rows = x.shape[0]
+    if s % _L == 0:
+        q = s // _L
+        return pltpu.roll(x, rows - q, 0)
+    assert s < _L
+    a = pltpu.roll(x, _L - s, 1)
+    b = pltpu.roll(a, rows - 1, 0)
+    lane = iota2(x.shape, 1)
+    return jnp.where(lane < _L - s, a, b)
+
+
+def flat_roll_right(x, s):
+    """out[p] = x[(p - s) mod n] over flat row-major (rows, L); s in [1, n)."""
+    rows = x.shape[0]
+    if s % _L == 0:
+        return pltpu.roll(x, s // _L, 0)
+    assert s < _L
+    a = pltpu.roll(x, s, 1)
+    b = pltpu.roll(a, 1, 0)
+    lane = iota2(x.shape, 1)
+    return jnp.where(lane >= s, a, b)
+
+
+def flat_shift_left(x, s, fill):
+    """out[p] = x[p + s], `fill` in the last s positions."""
+    rows = x.shape[0]
+    n = rows * _L
+    flat = iota2(x.shape, 0) * _L + iota2(x.shape, 1)
+    return jnp.where(flat < n - s, flat_roll_left(x, s), fill)
+
+
+def flat_shift_right(x, s, fill):
+    """out[p] = x[p - s], `fill` in the first s positions."""
+    flat = iota2(x.shape, 0) * _L + iota2(x.shape, 1)
+    return jnp.where(flat >= s, flat_roll_right(x, s), fill)
+
+
+# ---------------------------------------------------------------------------
+# In-tile scans (lane log-scan, then row log-scan of row aggregates)
+# ---------------------------------------------------------------------------
+
+def lane_row_scan(vals, combine, identity):
+    """Inclusive scan over flat row-major (rows, L) with an associative
+    combine(left, right) and its identity."""
+    rows = vals.shape[0]
+    lane = iota2(vals.shape, 1)
+    row = iota2(vals.shape, 0)
+    x = vals
+    k = 1
+    while k < _L:
+        sh = jnp.where(lane >= k, pltpu.roll(x, k, 1), identity)
+        x = combine(sh, x)
+        k *= 2
+    agg = jnp.broadcast_to(x[:, _L - 1 : _L], vals.shape)
+    ex = jnp.where(row >= 1, pltpu.roll(agg, 1, 0), identity)
+    k = 1
+    while k < rows:
+        sh = jnp.where(row >= k, pltpu.roll(ex, k, 0), identity)
+        ex = combine(sh, ex)
+        k *= 2
+    return combine(ex, x)
+
+
+def fill_scan(vals, flags, rows):
+    """Inclusive forward-fill: (value at last flagged position <= p, any
+    flagged <= p) over flat row-major (rows, L)."""
+    lane = iota2(vals.shape, 1)
+    row = iota2(vals.shape, 0)
+    v, f = vals, flags
+    k = 1
+    while k < _L:
+        vs = jnp.where(lane >= k, pltpu.roll(v, k, 1), 0)
+        fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
+        v = jnp.where(f != 0, v, vs)
+        f = f | fs
+        k *= 2
+    va = jnp.broadcast_to(v[:, _L - 1 : _L], vals.shape)
+    fa = jnp.broadcast_to(f[:, _L - 1 : _L], vals.shape)
+    vp = jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0)
+    fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
+    k = 1
+    while k < rows:
+        vs = jnp.where(row >= k, pltpu.roll(vp, k, 0), 0)
+        fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
+        vp = jnp.where(fp != 0, vp, vs)
+        fp = fp | fs
+        k *= 2
+    return jnp.where(f != 0, v, vp), f | fp
+
+
+# ---------------------------------------------------------------------------
+# Butterfly networks
+# ---------------------------------------------------------------------------
+
+def butterfly_compact(d, pays, nbits):
+    """Move entries (d >= 0) left by their distance d; holes are d == -1.
+
+    d must be monotone non-decreasing over entries and equal to
+    position - target (target = output rank). Payload values at hole
+    positions after the network are stale garbage — consumers must mask by
+    entry count. Returns (d_out, pays_out); entry slots have d_out >= 0.
+    """
+    for k in range(nbits):
+        s = 1 << k
+        d_s = flat_shift_left(d, s, -1)
+        take = (d_s >= 0) & (((d_s >> k) & 1) == 1)
+        keep = (d >= 0) & (((d >> k) & 1) == 0)
+        pays = [
+            jnp.where(take, flat_roll_left(p, s), p) for p in pays
+        ]
+        d = jnp.where(take, d_s, jnp.where(keep, d, -1))
+    return d, pays
+
+
+def butterfly_expand(d, pays, nbits):
+    """Move entries (d >= 0) right by d, MSB-first (inverse network of
+    butterfly_compact). Requires entries dense at positions j with strictly
+    increasing targets tau_j = j + d_j. Returns (occupancy >= 0 map, pays)."""
+    for k in reversed(range(nbits)):
+        s = 1 << k
+        d_s = flat_shift_right(d, s, -1)
+        take = (d_s >= 0) & (((d_s >> k) & 1) == 1)
+        keep = (d >= 0) & (((d >> k) & 1) == 0)
+        pays = [
+            jnp.where(take, flat_roll_right(p, s), p) for p in pays
+        ]
+        d = jnp.where(take, d_s, jnp.where(keep, d, -1))
+    return d, pays
