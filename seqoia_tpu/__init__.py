@@ -93,14 +93,23 @@ def write(filename: str, pixels, desc: SqoaDesc, backend: str = "tpu") -> int:
     return len(data)
 
 
-def read(filename: str, channels: int = 0, backend: str = "tpu"):
+def read(filename: str, channels: int = 0, backend: str = "tpu",
+         strict: bool = False):
     """Read and decode a SQOA/QOI file; returns (pixels, desc) or
-    (None, None) (parity surface for sqoa_read, reference: seqoia.h:350,838)."""
+    (None, None) (parity surface for sqoa_read, reference: seqoia.h:350,838).
+
+    With ``strict=True`` the two failure modes raise distinct errors instead
+    of both collapsing to (None, None): ``FileNotFoundError``/``OSError`` for
+    I/O failures, ``ValueError`` for files that read fine but do not decode.
+    """
     try:
         with open(filename, "rb") as f:
             data = f.read()
     except OSError:
+        if strict:
+            raise
         return None, None
-    if not data:
-        return None, None
-    return decode(data, channels, backend=backend)
+    pixels, desc = decode(data, channels, backend=backend) if data else (None, None)
+    if pixels is None and strict:
+        raise ValueError(f"undecodable SQOA/QOI data in {filename!r}")
+    return pixels, desc

@@ -69,7 +69,7 @@ def _cmd_bench(args) -> int:
     opts = {
         k: getattr(args, k)
         for k in ("nowarmup", "nopng", "noverify", "noencode", "nodecode",
-                  "norecurse", "onlytotals")
+                  "norecurse", "noaverage", "onlytotals")
     }
     bench_harness.bench_directory(
         args.directory, runs=args.runs, opts=opts, use_tpu=args.tpu
@@ -149,7 +149,7 @@ def main(argv=None) -> int:
     b.add_argument("directory")
     b.add_argument("runs", type=int, nargs="?", default=3)
     for flag in ("nowarmup", "nopng", "noverify", "noencode", "nodecode",
-                 "norecurse", "onlytotals"):
+                 "norecurse", "noaverage", "onlytotals"):
         b.add_argument(f"--{flag}", action="store_true")
     b.add_argument("--tpu", action="store_true",
                    help="also bench the TPU pipeline per image")

@@ -1,27 +1,15 @@
-"""TPU-native SQOA decoder: two-pass parallel reformulation of the
-reference's sequential output-driven loop (reference: seqoia.h:722-806).
+"""TPU-native SQOA/QOI decode dispatch + the QOI-compat decoder.
 
-Pass 1 — tokenization. Ops are self-delimiting: the byte length of an op
-(including a trailing SQOA_OP_ALPHA modifier, reference: seqoia.h:777-783)
-is a pure function of its first byte and the channel mode. We build a
-``next op start`` successor map over every byte position and extract the
-op-start sequence with logarithmic pointer doubling (each op index's
-position is the bit-decomposed composition of 2^k-step jump tables).
+The hot SQOA path lives in ``decode_v2`` (scan-automaton formulation,
+re-exported here as ``decode_stream``). This module adds:
 
-Pass 2 — reconstruction. Each channel value at op t is (value at the most
-recent absolute anchor) + (modular prefix-sum of deltas since); anchors are
-RGB/RGBA ops, deltas come from LUMA/ALPHA ops, and RUN/BIGRUN contribute
-nothing. Pixel expansion assigns each output pixel its covering op with a
-searchsorted over the pixel-count prefix sum.
-
-SQOA_OP_REF back-references (reference: seqoia.h:729-738) make the byte
-cursor non-monotonic; the reference encoder never emits them (SURVEY.md
-§2.1 item 9), so streams containing one are detected here and routed to the
-sequential native fallback by the caller.
-
-QOI-compat streams thread a 64-entry color index through every op, which is
-sequential state; ``decode_stream_compat`` handles those with a lax.scan
-over ops (vmap-friendly across a batch) until a parallel resolution lands.
+* ``decode_stream_compat`` — QOI-compat decode. The 64-entry color index
+  (reference: seqoia.h:753-755,785-787) is genuine sequential state; the
+  tokenization and pixel expansion are parallel, and the per-op state walk
+  is a lax.scan designed to be vmapped over a batch.
+* ``decode`` — full-file decode with header parsing, shape bucketing, and
+  the sequential native fallback for SQOA_OP_REF streams (the reference
+  encoder never emits REF, SURVEY.md §2.1 item 9).
 """
 
 from __future__ import annotations
@@ -40,184 +28,7 @@ def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
-def _op_length_table(colch: int, compat: bool) -> np.ndarray:
-    """len[b] = bytes consumed by an op whose first byte is b (excluding any
-    trailing ALPHA modifier, which is handled as a +1 peek)."""
-    lens = np.ones(256, dtype=np.int32)
-    b = np.arange(256)
-    if compat:
-        index_size = spec.QOI_INDEX_SIZE if colch == 3 else spec.QOI_INDEX_SIZE_MONO
-        luma = ((b & spec.MASK_2) == spec.OP_LUMA) & (b >= index_size)
-        lens[luma] = 2 if colch == 3 else 1
-    else:
-        luma = (b & spec.MASK_2) == spec.OP_LUMA
-        lens[luma] = 2 if colch == 3 else 1
-    lens[spec.OP_RGB] = 4 if colch == 3 else 2
-    lens[spec.OP_RGBA] = 5 if colch == 3 else 3
-    return lens
-
-
-def _pixel_count_table(compat: bool) -> np.ndarray:
-    """pixels produced by an op with first byte b (run ops produce 1 + the
-    stored countdown, reference: seqoia.h:722-726,770-775)."""
-    b = np.arange(256)
-    cnt = np.ones(256, dtype=np.int32)
-    run = (b & spec.MASK_2) == spec.OP_RUN
-    cnt[run] = (b[run] & 0x3F) + 1
-    # Dispatch order: RGB/RGBA and (compat) INDEX/DIFF and LUMA take
-    # precedence over RUN; the "else" run branch also captures ALPHA-range
-    # bytes at op-start in SQOA mode (reference decoder quirk, seqoia.h:770-775).
-    if not compat:
-        alpha_range = (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
-        cnt[alpha_range] = (b[alpha_range] & 0x3F) + 1
-        cnt[spec.OP_BIGRUN] = spec.SQOA_MAXRUN
-    luma = (b & spec.MASK_2) == spec.OP_LUMA
-    cnt[luma] = 1
-    cnt[spec.OP_RGB] = 1
-    cnt[spec.OP_RGBA] = 1
-    if compat:
-        cnt[b < spec.QOI_INDEX_SIZE] = 1  # INDEX
-        cnt[(b & spec.MASK_2) == spec.QOI_OP_DIFF] = 1
-    return cnt
-
-
-def _tokenize(data, start, chunks_len, max_ops, colch, compat):
-    """Return (op_pos, op_byte, valid_op) arrays of length max_ops."""
-    m = data.shape[0]
-    lens = jnp.asarray(_op_length_table(colch, compat))
-    base = lens[data]
-    if (not compat) and colch == 3:
-        # +1 if the byte after the op is an ALPHA modifier.
-        after = data[jnp.minimum(jnp.arange(m) + base, m - 1)]
-        peek = ((after >= spec.OP_ALPHA) & (after < spec.OP_LUMA)).astype(jnp.int32)
-        base = base + peek
-    nxt = jnp.minimum(jnp.arange(m, dtype=jnp.int32) + base, m - 1)
-    # Positions at/after chunks_len self-loop at sentinel m-1.
-    nxt = jnp.where(jnp.arange(m) >= chunks_len, m - 1, nxt)
-
-    # Pointer doubling: op_pos[j] = nxt^j(start).
-    n_bits = max(1, int(np.ceil(np.log2(max(max_ops, 2)))))
-    j = jnp.arange(max_ops, dtype=jnp.int32)
-    pos = jnp.full((max_ops,), start, dtype=jnp.int32)
-    jump = nxt
-    for k in range(n_bits):
-        pos = jnp.where((j >> k) & 1 == 1, jump[pos], pos)
-        if k + 1 < n_bits:
-            jump = jump[jump]
-    valid = pos < chunks_len
-    return pos, data[pos].astype(jnp.int32), valid
-
-
-def _anchored_value(is_abs, abs_val, delta, init):
-    """Per-op channel value: last absolute anchor + modular delta prefix-sum.
-
-    All args are (num_ops,) int32; returns (num_ops,) int32 in [0,255].
-    """
-    n = is_abs.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    anchor = jax.lax.associative_scan(jnp.maximum, jnp.where(is_abs, idx, -1))
-    cum = jnp.cumsum(delta, dtype=jnp.int32)
-    a = jnp.maximum(anchor, 0)
-    anchor_val = jnp.where(anchor >= 0, abs_val[a], init)
-    anchor_cum = jnp.where(anchor >= 0, cum[a] - delta[a], 0)
-    return (anchor_val + cum - anchor_cum) & 255
-
-
 from .decode_v2 import decode_stream  # scan-automaton SQOA decoder (v2)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max", "max_ops")
-)
-def _decode_stream_v1(data, chunks_len, n_pixels, *, colch, compat, out_ch,
-                      n_max, max_ops):
-    """Gather-based decode (v1) — superseded by decode_v2 on TPU (random
-    gathers serialize); kept as a differential reference implementation.
-
-    Args:
-      data: (M,) uint8 full file bytes (header included; padding present).
-      chunks_len: scalar int32, file size - 8 (op fetch limit).
-      n_pixels: scalar int32, true pixel count (<= n_max).
-      colch/compat/out_ch: static channel mode.
-      n_max: static output pixel capacity.
-      max_ops: static op capacity (>= any possible op count).
-
-    Returns:
-      (pixels, has_ref): pixels is (n_max, out_ch) uint8 (rows >= n_pixels
-      are zero); has_ref flags SQOA_OP_REF presence (caller must then use
-      the sequential fallback — the parallel result is invalid).
-    """
-    start = spec.HEADER_SIZE + (0 if compat else 1)
-    data = data.astype(jnp.int32)
-    pos, op_b, op_valid = _tokenize(data, start, chunks_len, max_ops, colch, compat)
-
-    has_ref = jnp.any(op_valid & (op_b < spec.OP_ALPHA)) if not compat else jnp.bool_(False)
-
-    cnt_tab = jnp.asarray(_pixel_count_table(compat))
-    npix = jnp.where(op_valid, cnt_tab[op_b], 0)
-    pix_off = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(npix, dtype=jnp.int32)[:-1]]
-    )
-
-    m = data.shape[0]
-    at = lambda off: data[jnp.minimum(pos + off, m - 1)]
-    b1, b2, b3, b4 = at(1), at(2), at(3), at(4)
-
-    is_rgb = op_b == spec.OP_RGB
-    is_rgba = op_b == spec.OP_RGBA
-    is_luma = ((op_b & spec.MASK_2) == spec.OP_LUMA) & ~is_rgb & ~is_rgba
-    vg = (op_b & 0x3F) - 32
-
-    if colch == 3:
-        # ALPHA modifier attached to this op (non-compat only).
-        lens = jnp.asarray(_op_length_table(colch, compat))
-        if not compat:
-            after = data[jnp.minimum(pos + lens[op_b], m - 1)]
-            has_amod = (after >= spec.OP_ALPHA) & (after < spec.OP_LUMA) & op_valid
-            amod = jnp.where(has_amod, (after & 0x1F) - 16, 0)
-        else:
-            amod = jnp.zeros_like(op_b)
-
-        abs_rgb = (is_rgb | is_rgba) & op_valid
-        luma_d = is_luma & op_valid
-        # LUMA's dr-dg/db-dg nibbles are in the op's second byte (b1);
-        # RGB/RGBA absolutes are at +1/+2/+3(+4).
-        r = _anchored_value(
-            abs_rgb, b1, jnp.where(luma_d, vg - 8 + ((b1 >> 4) & 0x0F), 0), 0
-        )
-        g = _anchored_value(abs_rgb, b2, jnp.where(luma_d, vg, 0), 0)
-        bch = _anchored_value(
-            abs_rgb, b3, jnp.where(luma_d, vg - 8 + (b1 & 0x0F), 0), 0
-        )
-        a = _anchored_value(is_rgba & op_valid, b4, amod, 255)
-        vals = jnp.stack([r, g, bch, a], axis=1)  # (max_ops, 4)
-    else:
-        abs_g = (is_rgb | is_rgba) & op_valid
-        g = _anchored_value(abs_g, b1, jnp.where(is_luma & op_valid, vg, 0), 0)
-        a = _anchored_value(is_rgba & op_valid, b2, jnp.zeros_like(op_b), 255)
-        vals = jnp.stack([g, g, g, a], axis=1)
-
-    # --- expand ops to pixels -------------------------------------------------
-    t = jnp.arange(n_max, dtype=jnp.int32)
-    op_of_pixel = jnp.searchsorted(pix_off, t, side="right").astype(jnp.int32) - 1
-    op_of_pixel = jnp.clip(op_of_pixel, 0, max_ops - 1)
-    px = vals[op_of_pixel]  # (n_max, 4)
-
-    # Pixels beyond the op stream keep the last decoded value — searchsorted
-    # already lands them on the final op, matching the reference's behaviour
-    # when the stream exhausts early (p >= chunks_len keeps px unchanged).
-
-    if out_ch >= 3 and colch == 3:
-        cols = [px[:, 0], px[:, 1], px[:, 2]]
-    elif out_ch >= 3:
-        cols = [px[:, 1], px[:, 1], px[:, 1]]
-    else:
-        cols = [px[:, 1]]
-    if out_ch in (2, 4):
-        cols.append(px[:, 3])
-    out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
-    out = jnp.where((t < n_pixels)[:, None], out, 0)
-    return out, has_ref
 
 
 def _compat_scan_step(carry, op, colch):

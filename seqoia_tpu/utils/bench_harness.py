@@ -118,7 +118,8 @@ def print_table(title, totals: Totals, opts):
           f"{totals.px / 1e6:.1f} Mpx total")
     print(f"{'':14s}{'decode ms':>11s}{'encode ms':>11s}"
           f"{'decode mpps':>13s}{'encode mpps':>13s}{'size kb':>10s}{'rate':>7s}")
-    n = max(totals.count, 1)
+    # totals are averaged per image unless --noaverage (sqoabench.c:306)
+    n = 1 if opts.get("noaverage") else max(totals.count, 1)
     for codec in totals.size:
         dec_ns = totals.decode_ns.get(codec, 0)
         enc_ns = totals.encode_ns.get(codec, 0)

@@ -39,6 +39,17 @@ def test_read_missing_file():
     assert sq.read("/nonexistent/nope.sqoa") == (None, None)
 
 
+def test_read_strict_distinguishes_errors(tmp_path):
+    """strict mode splits missing-file from undecodable-data failures."""
+    with pytest.raises(OSError):
+        sq.read("/nonexistent/nope.sqoa", strict=True)
+    bad = tmp_path / "garbage.sqoa"
+    bad.write_bytes(b"not a sqoa file at all, padded out" + b"\0" * 32)
+    with pytest.raises(ValueError, match="undecodable"):
+        sq.read(str(bad), strict=True)
+    assert sq.read(str(bad)) == (None, None)
+
+
 def test_write_invalid_returns_zero(tmp_path):
     assert sq.write(str(tmp_path / "x.sqoa"), None, sq.SqoaDesc(2, 2, 3)) == 0
 
