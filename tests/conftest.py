@@ -23,6 +23,14 @@ jax.config.update(
     "jax_platforms", os.environ.get("SEQOIA_TEST_PLATFORM", "cpu")
 )
 
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compilations (one per shape bucket x mode); cache them across runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import ctypes
 
 import numpy as np
