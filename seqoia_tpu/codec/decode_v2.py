@@ -137,16 +137,16 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         expand != "xla" and colch == 3
         and _use_pallas_expand(m0, n_max)
     ):
-        # fully-fused front-end + compaction engine (hot path)
-        from ..ops import pallas_compact, pallas_frontend
+        # fully-fused front-end + butterfly data-movement engine (hot path)
+        from ..ops import pallas_engine, pallas_frontend
 
         valid_op, pixoff, packed, ref_flag = pallas_frontend.decode_frontend(
             data, chunks_len, n_max
         )
-        keys_c, pays_c, totals = pallas_compact.compact(
+        keys_c, pays_c, totals = pallas_engine.compact(
             valid_op, pixoff, [packed]
         )
-        filled = pallas_compact.place_fill(
+        filled = pallas_engine.place_fill(
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
             p_out=4096 if n_max % 4096 == 0 else 2048,
@@ -221,12 +221,12 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
     bsz, m = b.shape
     if expand != "xla" and _use_pallas_expand(m, n_max):
-        from ..ops import pallas_compact
+        from ..ops import pallas_engine
 
-        keys_c, pays_c, totals = pallas_compact.compact(
+        keys_c, pays_c, totals = pallas_engine.compact(
             valid_op, pixoff, [packed]
         )
-        filled = pallas_compact.place_fill(
+        filled = pallas_engine.place_fill(
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
             p_out=4096 if n_max % 4096 == 0 else 2048,

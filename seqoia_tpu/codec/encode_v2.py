@@ -7,7 +7,7 @@ TPU), and stream compaction inverted into an output-driven form:
 
   * every *emitting* pixel contributes (offset, color, predecessor color,
     run/flush metadata) — compacted and spread across each pixel's byte
-    range by the Pallas compact + place_fill engine (ops/pallas_compact.py;
+    range by the Pallas compact + place_fill engine (ops/pallas_engine.py;
     XLA monotone scatter + log-shift fill as the CPU fallback);
   * each output byte position then computes its own value closed-form from
     the filled fields and its intra-emission index k (flush chunk bytes,
@@ -181,12 +181,12 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     emit = total_len > 0
     meta = pending | (flush_n << 9) | (cls << 13)
     if spread != "xla" and _use_pallas_spread(n, out_cap):
-        from ..ops import pallas_compact
+        from ..ops import pallas_engine
 
-        keys_c, pays_c, totals_c = pallas_compact.compact(
+        keys_c, pays_c, totals_c = pallas_engine.compact(
             emit, offsets, [packed, prev_packed, meta]
         )
-        cur_f, prev_f, meta_f, off_f = pallas_compact.place_fill(
+        cur_f, prev_f, meta_f, off_f = pallas_engine.place_fill(
             keys_c, pays_c + [keys_c], totals_c, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
             p_out=4096 if out_cap % 4096 == 0 else 2048,

@@ -84,6 +84,23 @@ def flat_shift_left(x, s, fill):
     return jnp.where(flat < n - s, flat_roll_left(x, s), fill)
 
 
+def flat_roll_right_dyn(x, s):
+    """out[p] = x[(p - s) mod n]; s is a traced scalar in [0, 128)."""
+    a = pltpu.roll(x, s, 1)
+    b = pltpu.roll(a, 1, 0)
+    lane = iota2(x.shape, 1)
+    return jnp.where(lane >= s, a, b)
+
+
+def flat_roll_left_dyn(x, s):
+    """out[p] = x[(p + s) mod n]; s is a traced scalar in [0, 128)."""
+    a = pltpu.roll(x, (_L - s) % _L, 1)
+    rows = x.shape[0]
+    b = pltpu.roll(a, rows - 1, 0)
+    lane = iota2(x.shape, 1)
+    return jnp.where(lane < _L - s, a, b)
+
+
 def flat_shift_right(x, s, fill):
     """out[p] = x[p - s], `fill` in the first s positions."""
     flat = iota2(x.shape, 0) * _L + iota2(x.shape, 1)
@@ -114,6 +131,39 @@ def lane_row_scan(vals, combine, identity):
         ex = combine(sh, ex)
         k *= 2
     return combine(ex, x)
+
+
+def fill_scan_multi(vals_list, flags):
+    """Joint inclusive forward-fill of several payloads sharing one flag
+    array over flat row-major (rows, L). Returns (filled_list, flags_out)."""
+    rows = flags.shape[0]
+    lane = iota2(flags.shape, 1)
+    row = iota2(flags.shape, 0)
+    vs, f = list(vals_list), flags
+    k = 1
+    while k < _L:
+        fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
+        vs = [
+            jnp.where(f != 0, v, jnp.where(lane >= k, pltpu.roll(v, k, 1), 0))
+            for v in vs
+        ]
+        f = f | fs
+        k *= 2
+    fa = jnp.broadcast_to(f[:, _L - 1 : _L], flags.shape)
+    vas = [jnp.broadcast_to(v[:, _L - 1 : _L], flags.shape) for v in vs]
+    fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
+    vps = [jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0) for va in vas]
+    k = 1
+    while k < rows:
+        fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
+        vps = [
+            jnp.where(fp != 0, vp, jnp.where(row >= k, pltpu.roll(vp, k, 0), 0))
+            for vp in vps
+        ]
+        fp = fp | fs
+        k *= 2
+    out = [jnp.where(f != 0, v, vp) for v, vp in zip(vs, vps)]
+    return out, f | fp
 
 
 def fill_scan(vals, flags, rows):
