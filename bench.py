@@ -1,21 +1,25 @@
 #!/usr/bin/env python
 """seqoia_tpu benchmark: aggregate codec throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+plus a per-category table (sqoabench.c:350-389 style, with size + rate
+columns vs qoi) to stderr.
 
 Baseline: the reference's single-core sqoa decode grand total, 246.25 Mpx/s
 on Apple M1 (BASELINE.md); vs_baseline = aggregate decode Mpx/s / 246.25.
 
 Methodology mirrors sqoabench (reference: sqoabench.c:394-406) adapted to a
 batched accelerator: the corpus is encoded by the (reference-pinned) native
-oracle, streams are staged device-resident per shape bucket, kernels are
-compiled once, then timed over `SEQOIA_BENCH_RUNS` repeats with one
-discarded warmup; synchronization reads back a single scalar (full-array
-readback would measure the dev-tunnel, not the chip). Byte-exact parity is
-verified for every image before any timing counts.
+oracle, streams are staged device-resident per shape bucket, all bucket
+dispatches fuse into one jitted program (one host round-trip per timed
+run), kernels are compiled once, then timed over `SEQOIA_BENCH_RUNS`
+repeats with one discarded warmup; synchronization reads back a single
+scalar. Byte-exact parity is verified for every image before any timing
+counts.
 """
 
+import functools
 import json
 import os
 import sys
@@ -28,10 +32,7 @@ import numpy as np
 
 BASELINE_DECODE_MPXS = 246.25  # BASELINE.md: sqoa decode grand total, M1
 BASELINE_ENCODE_MPXS = 147.46
-
-
-def _pow2(x):
-    return 1 << max(int(x) - 1, 1).bit_length()
+BASELINE_RATE_PCT = 28.0       # reference suite sqoa rate (bench10.txt:123)
 
 
 def _bucket(x, mult=32768):
@@ -54,18 +55,30 @@ def main():
     from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
     from seqoia_tpu.utils import make_corpus
 
-    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "4.0"))
+    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "16.0"))
     runs = int(os.environ.get("SEQOIA_BENCH_RUNS", "5"))
-    corpus = make_corpus(scale)
-    total_px = sum(w * h for _, w, h, _ in corpus)
+    corpus = make_corpus(scale, labels=True)
+    total_px = sum(w * h for _, w, h, _, _ in corpus)
 
-    # --- oracle streams + parity gate ---------------------------------------
-    streams = [native.encode(p, w, h, ch, 0, 0) for p, w, h, ch in corpus]
+    # --- oracle streams + compression accounting ----------------------------
+    streams = [native.encode(p, w, h, ch, 0, 0) for p, w, h, ch, _ in corpus]
+    qoi_sizes = [
+        len(native.encode(p, w, h, ch, 0, 1)) for p, w, h, ch, _ in corpus
+    ]
+
+    cats = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, px, raw, sqoa, qoi
+    for (p, w, h, ch, cat), s, q in zip(corpus, streams, qoi_sizes):
+        c = cats[cat]
+        c[0] += 1
+        c[1] += w * h
+        c[2] += w * h * ch
+        c[3] += len(s)
+        c[4] += q
 
     parity_ok = 0
     dec_buckets = defaultdict(list)
     enc_buckets = defaultdict(list)
-    for i, ((pix, w, h, ch), stream) in enumerate(zip(corpus, streams)):
+    for i, ((pix, w, h, ch, _), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
         m_pad = _bucket(len(stream))
         n_max = _bucket(w * h, 4096)
@@ -88,36 +101,30 @@ def main():
             clens[j] = len(s) - spec.PADDING_SIZE
             npx[j] = corpus[i][1] * corpus[i][2]
         args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
-        import functools
-
         fn = functools.partial(
             decode_v2.decode_stream_batched,
             colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
         )
         out, _ = fn(*args)
         float(sync(out))  # compile + settle
-        # parity for this bucket
         outh = np.asarray(out)
         for j, i in enumerate(idxs):
-            pix, w, h, ch = corpus[i]
             oracle, _ = native.decode(streams[i], 0)
-            got = outh[j].reshape(-1)[: len(oracle)]
-            parity_ok += np.array_equal(got, oracle)
-        dec_plans.append((fn, args, sum(npx)))
-
-    # fuse all bucket dispatches into one jitted program: one tunnel
-    # round-trip per timed run instead of one per bucket
-    import functools as _ft
+            parity_ok += np.array_equal(
+                outh[j].reshape(-1)[: len(oracle)], oracle
+            )
+        del out, outh
+        dec_plans.append((fn, args))
 
     @jax.jit
     def _decode_all(all_args):
         acc = jnp.float32(0)
-        for (fn, _, _), args in zip(dec_plans, all_args):
+        for (fn, _), args in zip(dec_plans, all_args):
             out, _ = fn(*args)
             acc = acc + jnp.sum(out[0, 0].astype(jnp.float32))
         return acc
 
-    all_dec_args = [args for _, args, _ in dec_plans]
+    all_dec_args = [args for _, args in dec_plans]
     float(_decode_all(all_dec_args))  # compile
     t_total = 0.0
     for _ in range(runs):
@@ -134,7 +141,7 @@ def main():
         rgba = np.zeros((b, n_pad, 4), np.int32)
         nval = np.zeros(b, np.int32)
         for j, i in enumerate(idxs):
-            pix, w, h, ch = corpus[i]
+            pix, w, h, ch, _ = corpus[i]
             desc = sq.SqoaDesc(w, h, ch, 0, 0)
             rgba[j, : w * h] = encode_jax.normalize_pixels(pix, desc)
             nval[j] = w * h
@@ -143,8 +150,6 @@ def main():
         worst = n_pad * (colch + has_alpha + 1) + spec.PADDING_SIZE + 1
         cap = -(-(worst * 3 // 4) // 2048) * 2048
         args = (jnp.asarray(rgba), jnp.asarray(nval))
-        import functools
-
         fn = functools.partial(
             encode_v2.encode_stream_batched,
             colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
@@ -154,10 +159,11 @@ def main():
         outh = np.asarray(out)
         th = np.asarray(totals)
         for j, i in enumerate(idxs):
-            pix, w, h, ch = corpus[i]
+            pix, w, h, ch, _ = corpus[i]
             desc = sq.SqoaDesc(w, h, ch, 0, 0)
             got = spec.pack_header(desc) + outh[j, : th[j]].tobytes()
             enc_parity += got == streams[i]
+        del out, outh
         enc_plans.append((fn, args))
 
     @jax.jit
@@ -179,6 +185,32 @@ def main():
 
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
 
+    # --- per-category compression table (sqoabench.c:350-389 style) ---------
+    raw_total = sum(c[2] for c in cats.values())
+    sqoa_total = sum(c[3] for c in cats.values())
+    qoi_total = sum(c[4] for c in cats.values())
+    print(
+        f"{'category':14s}{'images':>7s}{'Mpx':>8s}{'sqoa kb':>9s}"
+        f"{'qoi kb':>9s}{'rate':>7s}{'qoi rate':>9s}{'vs qoi':>8s}",
+        file=sys.stderr,
+    )
+    for cat in sorted(cats):
+        n, px, raw, sz, qz = cats[cat]
+        print(
+            f"{cat:14s}{n:7d}{px / 1e6:8.1f}{sz // 1024:9d}{qz // 1024:9d}"
+            f"{100.0 * sz / raw:6.1f}%{100.0 * qz / raw:8.1f}%"
+            f"{100.0 * sz / qz - 100.0:+7.2f}%",
+            file=sys.stderr,
+        )
+    print(
+        f"{'# total':14s}{len(corpus):7d}{total_px / 1e6:8.1f}"
+        f"{sqoa_total // 1024:9d}{qoi_total // 1024:9d}"
+        f"{100.0 * sqoa_total / raw_total:6.1f}%"
+        f"{100.0 * qoi_total / raw_total:8.1f}%"
+        f"{100.0 * sqoa_total / qoi_total - 100.0:+7.2f}%",
+        file=sys.stderr,
+    )
+
     result = {
         "metric": "sqoa_batched_decode_throughput",
         "value": round(decode_mpxs / 1000.0, 6),
@@ -188,6 +220,9 @@ def main():
         "encode_mpxs": round(encode_mpxs, 2),
         "encode_vs_baseline": round(encode_mpxs / BASELINE_ENCODE_MPXS, 4),
         "parity_pct": round(parity_pct, 2),
+        "rate_pct": round(100.0 * sqoa_total / raw_total, 2),
+        "qoi_rate_pct": round(100.0 * qoi_total / raw_total, 2),
+        "size_vs_qoi_pct": round(100.0 * sqoa_total / qoi_total - 100.0, 3),
         "corpus_mpx": round(total_px / 1e6, 2),
         "images": len(corpus),
         "device": str(jax.devices()[0]),
