@@ -200,6 +200,25 @@ def decode(data: bytes, channels: int = 0):
     n_max = _next_pow2(n_pix)
 
     if desc.qoi_compat:
+        from . import decode_compat
+
+        m_fix = max(m_pad, 32768)
+        if decode_compat.fixpoint_ok(m_fix, colch):
+            if m_fix > m_pad:
+                buf = np.zeros(m_fix, dtype=np.uint8)
+                buf[: len(data)] = np.frombuffer(data, dtype=np.uint8)
+                arr = jnp.asarray(buf)
+            out, converged = decode_compat.decode_stream_compat_batched(
+                arr[None], jnp.asarray([chunks_len], jnp.int32),
+                jnp.asarray([n_pix], jnp.int32),
+                colch=colch, out_ch=out_ch, n_max=n_max,
+            )
+            if bool(converged[0]):
+                return np.asarray(out[0]).reshape(-1)[: n_pix * out_ch], desc
+            pixels, d = native.decode(bytes(data), channels)
+            if pixels is None:
+                return None, None
+            return pixels, spec.SqoaDesc(*d)
         out = decode_stream_compat(
             arr, jnp.int32(chunks_len), jnp.int32(n_pix),
             colch=colch, out_ch=out_ch, n_max=n_max, max_ops=max_ops,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from collections import defaultdict
 
 import jax
@@ -39,7 +40,18 @@ def _next_pow2(x: int) -> int:
 )
 def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
                          n_max, max_ops):
+    """Returns (pixels, need_fallback): flagged rows must be re-decoded on
+    the host path (SQOA: REF-op streams; compat: fixpoint non-convergence).
+    """
     if compat:
+        from ..codec import decode_compat
+
+        if decode_compat.fixpoint_ok(data.shape[1], colch):
+            out, converged = decode_compat.decode_stream_compat_batched(
+                data, chunks_len, n_pixels,
+                colch=colch, out_ch=out_ch, n_max=n_max,
+            )
+            return out, ~converged
         fn = functools.partial(
             decode_jax.decode_stream_compat,
             colch=colch, out_ch=out_ch, n_max=n_max, max_ops=max_ops,
@@ -52,6 +64,16 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
         data, chunks_len, n_pixels,
         colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
     )
+
+
+def _compat_use_tpu() -> bool:
+    """Batch-dispatch policy for .qoi streams. The compat index table is
+    sequential pointer-chasing (decode_compat.py discusses why); on real
+    INDEX-heavy content the TPU fixpoint rarely converges within its cap,
+    so the batch path defaults to the native runtime fanned out across
+    host cores (~250 Mpx/s/core, reference-class per core) and only uses
+    the TPU fixpoint when explicitly requested."""
+    return os.environ.get("SEQOIA_COMPAT_TPU", "") == "1"
 
 
 @dataclasses.dataclass
@@ -90,6 +112,8 @@ class BatchDecoder:
                 else colch + (1 if (desc.channels & 1) == 0 else 0)
             )
             m_pad = _next_pow2(len(data))
+            if desc.qoi_compat and colch == 3:
+                m_pad = max(m_pad, 32768)  # fixpoint path tile alignment
             start = spec.HEADER_SIZE + (0 if desc.qoi_compat else 1)
             max_ops = _next_pow2(max(len(data) - 8 - start, 1))
             n_max = _next_pow2(desc.n_pixels)
@@ -99,6 +123,12 @@ class BatchDecoder:
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
         for (colch, compat, out_ch, m_pad, max_ops, n_max), items in groups.items():
+            if compat and not _compat_use_tpu():
+                # hybrid dispatch: .qoi -> host pool (see _compat_use_tpu)
+                self._host_pool(
+                    [(i, data) for i, data, _ in items], channels, results
+                )
+                continue
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             buf = np.zeros((b_pad, m_pad), np.uint8)
@@ -112,28 +142,47 @@ class BatchDecoder:
                 (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npix)),
                 (sharding, sharding, sharding),
             )
-            out, has_ref = _decode_batch_kernel(
+            out, need_fb = _decode_batch_kernel(
                 *args, colch=colch, compat=compat, out_ch=out_ch,
                 n_max=n_max, max_ops=max_ops,
             )
             out = np.asarray(out)
-            has_ref = np.asarray(has_ref)
+            need_fb = np.asarray(need_fb)
+            fallback = []
             for j, (i, data, desc) in enumerate(items):
-                if has_ref[j]:
-                    # SQOA_OP_REF stream: sequential fallback (SURVEY §7.2).
-                    from .. import native
-
-                    pix, d = native.decode(bytes(data), channels)
-                    if pix is None:
-                        results[i] = DecodeResult(None, None, "malformed stream")
-                    else:
-                        results[i] = DecodeResult(pix, spec.SqoaDesc(*d))
+                if need_fb[j]:
+                    # REF-op stream or unconverged compat fixpoint: native
+                    # fallback, batch-parallel across host cores (the
+                    # ctypes call releases the GIL) — SURVEY §7.2.
+                    fallback.append((i, data))
                 else:
                     n = desc.n_pixels * out_ch
                     results[i] = DecodeResult(
                         out[j].reshape(-1)[:n].copy(), desc
                     )
+            if fallback:
+                self._host_pool(fallback, channels, results)
         return results
+
+    @staticmethod
+    def _host_pool(items, channels, results):
+        """Decode (index, stream) pairs with the native runtime fanned out
+        across host threads (the ctypes call releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        def host_decode(arg):
+            i, data = arg
+            pix, d = native.decode(bytes(data), channels)
+            if pix is None:
+                return i, DecodeResult(None, None, "malformed stream")
+            return i, DecodeResult(pix, spec.SqoaDesc(*d))
+
+        workers = min(len(items), os.cpu_count() or 8)
+        with ThreadPoolExecutor(workers) as ex:
+            for i, r in ex.map(host_decode, items):
+                results[i] = r
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,35 @@ eo, et = encode_v2.encode_stream_batched(
 )
 got = bytes(np.asarray(eo[0])[: int(et[0])])
 assert got == stream[15:], "interpret encode mismatch"
+
+# multi-tile alternating runs: exercises the engine's unaligned appends
+# across source tiles (regression for the round-1 window-overflow bug)
+pix2 = np.zeros((w * h, 3), np.uint8)
+pix2[(np.arange(w * h) // 4099) % 2 == 1] = (7, 9, 11)
+stream2 = native.encode(pix2.ravel(), w, h, 3, 0, 0)
+eo2, et2 = encode_v2.encode_stream_batched(
+    jnp.asarray(encode_jax.normalize_pixels(pix2.ravel(), sq.SqoaDesc(w, h, 3, 0, 0)))[None],
+    jnp.asarray([w * h], jnp.int32),
+    colch=3, has_alpha=False, compat=False, out_cap=cap,
+)
+assert bytes(np.asarray(eo2[0])[: int(et2[0])]) == stream2[15:], \
+    "interpret alternating-run encode mismatch"
+
+# QOI-compat fixpoint decode (slot last-writer kernel + index resolution)
+from seqoia_tpu.codec import decode_compat
+pal = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+cpix = pal[rng.integers(0, 5, w * h)].ravel()
+cstream = native.encode(cpix, w, h, 4, 0, 1)
+cbuf = np.zeros((1, 32768 * 2), np.uint8)
+assert len(cstream) <= cbuf.shape[1]
+cbuf[0, : len(cstream)] = np.frombuffer(cstream, np.uint8)
+cout, conv = decode_compat.decode_stream_compat_batched(
+    jnp.asarray(cbuf), jnp.asarray([len(cstream) - 8], jnp.int32),
+    jnp.asarray([w * h], jnp.int32), colch=3, out_ch=4, n_max=w * h,
+)
+assert bool(np.asarray(conv)[0]), "compat fixpoint did not converge"
+assert np.array_equal(np.asarray(cout[0]).reshape(-1), cpix), \
+    "interpret compat decode mismatch"
 print("INTERPRET-OK")
 """
 
