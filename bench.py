@@ -185,6 +185,43 @@ def main():
 
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
 
+    # --- large single image (100 Mpx, BASELINE config 5) --------------------
+    large = {}
+    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1":
+        from seqoia_tpu.parallel import tiled
+
+        lw = lh = 10000
+        lyy = np.arange(lh, dtype=np.int32)[:, None]
+        lxx = np.arange(lw, dtype=np.int32)[None, :]
+        lrng = np.random.default_rng(11)
+        lbase = ((lxx * 3 + lyy * 7) // 13 % 200).astype(np.int16)
+        limg = np.clip(
+            lbase[..., None] + 30
+            + lrng.integers(-4, 5, (lh, lw, 3), dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        del lbase
+        lpix = limg.reshape(-1)
+        del limg
+        ldesc = sq.SqoaDesc(lw, lh, 3, 0, 0)
+        tiled.encode_large(lpix, ldesc)  # warm
+        t0 = time.perf_counter()
+        lstream = tiled.encode_large(lpix, ldesc)
+        t_le = time.perf_counter() - t0
+        loracle = native.encode(lpix, lw, lh, 3, 0, 0)
+        t0 = time.perf_counter()
+        lback, _ = tiled.decode_large(lstream, 0)
+        t_ld = time.perf_counter() - t0
+        large = {
+            "large_mpx": round(lw * lh / 1e6, 1),
+            "large_encode_mpxs": round(lw * lh / t_le / 1e6, 1),
+            "large_decode_mpxs": round(lw * lh / t_ld / 1e6, 1),
+            "large_parity": bool(
+                lstream == loracle and np.array_equal(lback, lpix)
+            ),
+        }
+        del lpix, lstream, loracle, lback
+
     # --- per-category compression table (sqoabench.c:350-389 style) ---------
     raw_total = sum(c[2] for c in cats.values())
     sqoa_total = sum(c[3] for c in cats.values())
@@ -226,6 +263,7 @@ def main():
         "corpus_mpx": round(total_px / 1e6, 2),
         "images": len(corpus),
         "device": str(jax.devices()[0]),
+        **large,
     }
     print(json.dumps(result))
 

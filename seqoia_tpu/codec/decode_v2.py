@@ -154,7 +154,47 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), ref_flag != 0
 
     b = data.astype(jnp.int32)
-    token, lens = _tokenize(b, chunks_len[:, None], colch, compat)
+    is_op, npix, pixoff, packed, has_ref = _reconstruct(
+        b, chunks_len[:, None], colch, compat
+    )
+
+    # --- expansion: place op values at pixel offsets, forward-fill ---------
+    valid_op = is_op & (npix > 0) & (pixoff < n_max)
+    init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
+    bsz, m = b.shape
+    if expand != "xla" and _use_pallas_expand(m, n_max):
+        from ..ops import pallas_engine
+
+        keys_c, pays_c, totals = pallas_engine.compact(
+            valid_op, pixoff, [packed]
+        )
+        filled = pallas_engine.place_fill(
+            keys_c, pays_c, totals, n_max,
+            (int(np.int32(np.uint32(255 << 24))),),
+            p_out=4096 if n_max % 4096 == 0 else 2048,
+        )[0]
+    else:
+        # XLA fallback: monotone unique scatter + log-shift forward fill;
+        # invalid entries get unique OOB targets (dropped by mode=drop)
+        idx_b = jnp.arange(m, dtype=jnp.int32)[None, :]
+        rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]
+        tgt = jnp.where(valid_op, pixoff, n_max + idx_b)
+        grid = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+            packed, mode="drop", unique_indices=True
+        )
+        gridf = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+            jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
+        )
+        filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
+
+    return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), has_ref
+
+
+def _reconstruct(b, chunks_len_b, colch, compat):
+    """Byte array -> per-position op decomposition. Shape-agnostic along
+    the last axis: b is (..., M) int32, chunks_len_b broadcasts against it.
+    Returns (is_op, npix, pixoff, packed, has_ref)."""
+    token, lens = _tokenize(b, chunks_len_b, colch, compat)
     has_ref = jnp.any(token & (b < spec.OP_ALPHA), axis=-1)
 
     is_mod = _modifier_mask(b, token, colch, compat)
@@ -215,37 +255,71 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     a_v = jnp.where(a_flag == 1, a_v, (a_v + 255) & 255)
 
     packed = r_v | (g_v << 8) | (b_v << 16) | (a_v << 24)
+    return is_op, npix, pixoff, packed, has_ref
 
-    # --- expansion: place op values at pixel offsets, forward-fill ---------
+
+@functools.partial(
+    jax.jit, static_argnames=("colch", "out_ch", "n_max", "expand")
+)
+def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
+                       expand="auto"):
+    """Single large-image SQOA decode with rank-1 internals.
+
+    Identical algorithm to the batched kernel, but every intermediate is a
+    flat (M,) array: on TPU a rank-2 (1, M) buffer pads its unit sublane
+    dimension 8x, which makes the 100-400 Mpx single-image workload
+    (seqoia.h:428-432, BASELINE config 5) blow HBM; rank-1 (and the
+    engine's internal rank-3) layouts are tight.
+
+    data: (M,) uint8. Returns ((n_max, out_ch) uint8, has_ref scalar).
+    """
+    b = data.astype(jnp.int32)
+    is_op, npix, pixoff, packed, has_ref = _reconstruct(
+        b, chunks_len, colch, False
+    )
+
     valid_op = is_op & (npix > 0) & (pixoff < n_max)
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
-    bsz, m = b.shape
+    m = b.shape[0]
     if expand != "xla" and _use_pallas_expand(m, n_max):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals = pallas_engine.compact(
-            valid_op, pixoff, [packed]
+            valid_op[None], pixoff[None], [packed[None]]
         )
         filled = pallas_engine.place_fill(
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
             p_out=4096 if n_max % 4096 == 0 else 2048,
-        )[0]
+        )[0][0]
     else:
-        # XLA fallback: monotone unique scatter + log-shift forward fill;
-        # invalid entries get unique OOB targets (dropped by mode=drop)
-        idx_b = jnp.arange(m, dtype=jnp.int32)[None, :]
-        rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]
+        idx_b = jnp.arange(m, dtype=jnp.int32)
         tgt = jnp.where(valid_op, pixoff, n_max + idx_b)
-        grid = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+        grid = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
             packed, mode="drop", unique_indices=True
         )
-        gridf = jnp.zeros((bsz, n_max), jnp.int32).at[rows, tgt].set(
+        gridf = jnp.zeros((n_max,), jnp.int32).at[tgt].set(
             jnp.where(valid_op, 1, 0), mode="drop", unique_indices=True
         )
         filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
-    return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), has_ref
+    # flat emit ((n_max,) temps; (n_max, out_ch) output lays out tight)
+    r = filled & 255
+    g = (filled >> 8) & 255
+    bb = (filled >> 16) & 255
+    a = (filled >> 24) & 255
+    if out_ch >= 3 and colch == 3:
+        cols = [r, g, bb]
+    elif out_ch >= 3:
+        cols = [g, g, g]
+    else:
+        cols = [g]
+    if out_ch in (2, 4):
+        cols.append(a)
+    out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
+    t = jnp.arange(n_max, dtype=jnp.int32)
+    out = jnp.where((t < n_pixels)[:, None], out, 0)
+    return out, has_ref
 
 
 def _emit_pixels(filled, n_pixels, colch, out_ch, n_max):

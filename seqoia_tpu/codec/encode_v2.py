@@ -76,6 +76,89 @@ def _flush_byte(pending, k):
     return jnp.where(k >= n_full, spec.OP_RUN | (rem - 1), spec.OP_RUN | 60)
 
 
+_EPILOGUES = {}
+
+
+def _emit_epilogue(colch: int):
+    """In-kernel byte emission for place_emit (SQOA non-compat modes).
+
+    Runs inside the placement kernel's epilogue: given the forward-filled
+    (cur, prev, meta, off) streams for one output tile plus the global byte
+    positions and per-image scalars (chunk_total, has_trail), computes the
+    final output bytes — flush chunks, op bytes, trailing BIGRUN and end
+    marker (reference: seqoia.h:544-646). Cached per mode so the callable
+    hashes stably for jit."""
+    if colch in _EPILOGUES:
+        return _EPILOGUES[colch]
+
+    def epilogue(filled, t, scal):
+        cur_f, prev_f, meta_f, off_f = filled
+        chunk_total, trail_flag = scal[0], scal[1]
+        k = t - off_f
+        pend_o = meta_f & 0x1FF
+        flush_o = (meta_f >> 9) & 0xF
+        cls_o = (meta_f >> 13) & 0x7
+
+        ocr, ocg = cur_f & 255, (cur_f >> 8) & 255
+        ocb, oca = (cur_f >> 16) & 255, (cur_f >> 24) & 255
+        opr, opg = prev_f & 255, (prev_f >> 8) & 255
+        opb, opa = (prev_f >> 16) & 255, (prev_f >> 24) & 255
+        ovr = _wrap8(ocr - opr)
+        ovg = _wrap8(ocg - opg)
+        ovb = _wrap8(ocb - opb)
+        ova = _wrap8(oca - opa)
+        ovg_r = _wrap8(ovr - ovg)
+        ovg_b = _wrap8(ovb - ovg)
+        oalpha = ova != 0
+
+        j = k - flush_o
+        if colch == 3:
+            is_lu = cls_o == _CL_LUMA
+            op_byte = jnp.where(
+                is_lu,
+                jnp.where(
+                    j == 0, spec.OP_LUMA | (ovg + 32),
+                    jnp.where(j == 1, ((ovg_r + 8) << 4) | (ovg_b + 8),
+                              spec.OP_ALPHA | (ova + 16)),
+                ),
+                jnp.where(
+                    j <= 1,
+                    jnp.where(j == 0, spec.OP_RGB | oalpha, ocr),
+                    jnp.where(j == 2, ocg, jnp.where(j == 3, ocb, oca)),
+                ),
+            )
+        else:
+            is_ga = cls_o == _CL_MONO_GA
+            op_byte = jnp.where(
+                is_ga,
+                jnp.where(j == 0, spec.OP_RGBA,
+                          jnp.where(j == 1, ocg, oca)),
+                jnp.where(
+                    cls_o == _CL_LUMA, spec.OP_LUMA | (ovg + 32),
+                    jnp.where(j == 0, spec.OP_RGB | oalpha,
+                              jnp.where(j == 1, ocg, oca)),
+                ),
+            )
+
+        byte = jnp.where(k < flush_o, _flush_byte(pend_o, k), op_byte)
+        byte = jnp.where(cls_o == _CL_NONE, spec.OP_BIGRUN, byte)
+
+        total = chunk_total + 8 + trail_flag
+        tail_pos = t - chunk_total
+        in_tail = (tail_pos >= 0) & (t < total)
+        fd_at = jnp.where(trail_flag != 0, 0, -1)
+        one_at = jnp.where(trail_flag != 0, 8, 7)
+        tail_byte = jnp.where(
+            tail_pos == fd_at, spec.OP_BIGRUN,
+            jnp.where(tail_pos == one_at, 1, 0),
+        )
+        out = jnp.where(in_tail, tail_byte, byte)
+        return jnp.where(t < total, out, 0)
+
+    _EPILOGUES[colch] = epilogue
+    return epilogue
+
+
 def _use_pallas_spread(n: int, out_cap: int) -> bool:
     import os
 
@@ -180,12 +263,31 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     # --- spread emission fields across each pixel's byte range -------------
     emit = total_len > 0
     meta = pending | (flush_n << 9) | (cls << 13)
+
+    # trailing run + end marker scalars (branchless, batched)
+    last_c = jnp.max(jnp.where(change, idx, -1), axis=-1)
+    trail_pending = ((n_valid - 1) - last_c) % maxrun
+    has_trail = (trail_pending > 0) & (n_valid > 0)
+    total = chunk_total + 8 + has_trail.astype(jnp.int32)
+
     if spread != "xla" and _use_pallas_spread(n, out_cap):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals_c = pallas_engine.compact(
             emit, offsets, [packed, prev_packed, meta]
         )
+        if not compat:
+            # fused placement + in-kernel byte emission (single uint8 out)
+            scal = jnp.stack(
+                [chunk_total, has_trail.astype(jnp.int32)], axis=-1
+            )
+            out = pallas_engine.place_emit(
+                keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
+                (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+                _emit_epilogue(colch),
+                p_out=4096 if out_cap % 4096 == 0 else 2048,
+            )
+            return out, total
         cur_f, prev_f, meta_f, off_f = pallas_engine.place_fill(
             keys_c, pays_c + [keys_c], totals_c, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
@@ -300,11 +402,6 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     byte = jnp.where(cls_o == _CL_NONE, spec.OP_BIGRUN, byte)
 
     # --- trailing run + end marker (branchless, batched) ---------------------
-    last_c = jnp.max(jnp.where(change, idx, -1), axis=-1)
-    trail_pending = ((n_valid - 1) - last_c) % maxrun
-    has_trail = (trail_pending > 0) & (n_valid > 0)
-    total = chunk_total + 8 + has_trail.astype(jnp.int32)
-
     tail_pos = t - chunk_total[:, None]  # 0..8 within the tail region
     in_tail = (tail_pos >= 0) & (t < total[:, None])
     fd_at = jnp.where(has_trail[:, None], 0, -1)
@@ -316,6 +413,126 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     )
     out = jnp.where(in_tail, tail_byte, byte)
     out = jnp.where(t < total[:, None], out, 0).astype(jnp.uint8)
+    return out, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("colch", "has_alpha", "out_cap", "spread"),
+)
+def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
+                       spread="auto"):
+    """Single large-image SQOA encode with rank-1 internals.
+
+    Same byte contract as the batched kernel, but every intermediate is a
+    flat array — rank-2 (1, N) buffers pad their unit sublane dimension 8x
+    on TPU, which blows HBM for the 100-400 Mpx single-image workload
+    (seqoia.h:428-432, BASELINE config 5). Non-compat only (large compat
+    encodes route to the host runtime).
+
+    packed: (N,) int32, r|g<<8|b<<16|a<<24 normalized pixels (4 bytes/px
+    on the wire instead of 16 — host->device transfer is the large-image
+    path's bottleneck). Returns ((out_cap,) uint8, total).
+    """
+    n = packed.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
+    maxrun = spec.SQOA_MAXRUN
+
+    cr, cg = packed & 255, (packed >> 8) & 255
+    cb, ca = (packed >> 16) & 255, (packed >> 24) & 255
+    init = jnp.int32(_INIT_PACKED)
+    prev_packed = jnp.concatenate([jnp.full((1,), init), packed[:-1]])
+
+    same = (packed == prev_packed) & valid
+    change = (~same) & valid
+
+    last_change = scan_ops.hillis_max(jnp.where(change, idx, -1))
+    prev_change = jnp.concatenate([jnp.full((1,), -1), last_change[:-1]])
+
+    seg_len = idx - 1 - prev_change
+    pending = jnp.where(change, seg_len % maxrun, 0)
+    flush_n = jnp.where(pending > 0, (pending - 1) // 61 + 1, 0)
+    seg_pos = idx - last_change
+    bigrun = same & (seg_pos % maxrun == 0)
+
+    pr, pg = prev_packed & 255, (prev_packed >> 8) & 255
+    pb, pa = (prev_packed >> 16) & 255, (prev_packed >> 24) & 255
+    vr = _wrap8(cr - pr)
+    vg = _wrap8(cg - pg)
+    vb = _wrap8(cb - pb)
+    va = _wrap8(ca - pa)
+    vg_r = _wrap8(vr - vg)
+    vg_b = _wrap8(vb - vg)
+    alpha_changed = va != 0
+    luma_ok = (
+        (vg_r >= -8) & (vg_r <= 7)
+        & (vg >= -32) & (vg <= 31)
+        & (vg_b >= -8) & (vg_b <= 7)
+        & (va >= -16) & (va <= 15)
+    )
+    if colch == 3:
+        cls = jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
+        op_len = jnp.where(luma_ok, 2, 4) + alpha_changed.astype(jnp.int32)
+    else:
+        cls = jnp.select(
+            [alpha_changed, luma_ok], [_CL_MONO_GA, _CL_LUMA], _CL_RGB
+        )
+        op_len = jnp.select([alpha_changed, luma_ok], [3, 1], 2)
+
+    total_len = jnp.where(
+        change, flush_n + op_len, jnp.where(bigrun, 1, 0)
+    ).astype(jnp.int32)
+    cls = jnp.where(change, cls, _CL_NONE)
+
+    offsets = scan_ops.blocked_cumsum(total_len)
+    chunk_total = offsets[-1]
+    offsets = offsets - total_len  # exclusive
+
+    emit = total_len > 0
+    meta = pending | (flush_n << 9) | (cls << 13)
+
+    last_c = jnp.max(jnp.where(change, idx, -1))
+    trail_pending = ((n_valid - 1) - last_c) % maxrun
+    has_trail = (trail_pending > 0) & (n_valid > 0)
+    total = chunk_total + 8 + has_trail.astype(jnp.int32)
+
+    if spread != "xla" and _use_pallas_spread(n, out_cap):
+        from ..ops import pallas_engine
+
+        keys_c, pays_c, totals_c = pallas_engine.compact(
+            emit[None], offsets[None], [packed[None], prev_packed[None],
+                                        meta[None]]
+        )
+        scal = jnp.stack(
+            [chunk_total, has_trail.astype(jnp.int32)]
+        )[None, :]
+        out = pallas_engine.place_emit(
+            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
+            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            _emit_epilogue(colch),
+            p_out=4096 if out_cap % 4096 == 0 else 2048,
+        )[0]
+        return out, total
+    else:
+        tgt = jnp.where(emit, offsets, out_cap + idx)
+
+        def scat(vals):
+            return jnp.zeros((out_cap,), jnp.int32).at[tgt].set(
+                vals, mode="drop", unique_indices=True
+            )
+
+        emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
+        cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
+        prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
+        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
+        off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
+
+    t = jnp.arange(out_cap, dtype=jnp.int32)
+    out = _emit_epilogue(colch)(
+        (cur_f, prev_f, meta_f, off_f), t,
+        (chunk_total, has_trail.astype(jnp.int32)),
+    ).astype(jnp.uint8)
     return out, total
 
 

@@ -179,8 +179,137 @@ def compact(valid, key, payloads):
 
 
 # ---------------------------------------------------------------------------
-# place_fill
+# place_fill (+ fused in-kernel emit epilogue)
 # ---------------------------------------------------------------------------
+
+def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue, *refs):
+    rows = p_out // _L
+    lo_ref = refs[0]
+    total_ref = refs[1]
+    scal_ref = refs[2]
+    keys_ref = refs[3]
+    pay_refs = refs[4 : 4 + n_pay]
+    out_ref = refs[4 + n_pay]
+    wbufs = refs[5 + n_pay : 6 + 2 * n_pay]
+    carry = refs[6 + 2 * n_pay]
+    sem = refs[7 + 2 * n_pay]
+
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        for j, ini in enumerate(inits):
+            carry[j] = ini
+
+    lo = lo_ref[bi, t]
+    total = total_ref[bi, 0]
+    lo_row = lo // _L
+    sh = lo % _L
+
+    cps = []
+    for i, src in enumerate([keys_ref] + list(pay_refs)):
+        cp = pltpu.make_async_copy(
+            src.at[bi, pl.ds(lo_row, win_rows), :], wbufs[i], sem.at[i]
+        )
+        cp.start()
+        cps.append(cp)
+    for cp in cps:
+        cp.wait()
+
+    base = t * p_out
+    keys = ktools.flat_roll_left_dyn(wbufs[0][...], sh)
+    pays = [ktools.flat_roll_left_dyn(wb[...], sh) for wb in wbufs[1:]]
+
+    j = ktools.iota2((win_rows, _L), 0) * _L + ktools.iota2((win_rows, _L), 1)
+    tau = keys - base
+    ok = (lo + j < total) & (tau >= 0) & (tau < p_out) & (j < win_rows * _L - _L)
+    d = jnp.where(ok, tau - j, -1)
+    d, pays = ktools.butterfly_expand(d, pays, nbits)
+
+    f = (d >= 0).astype(jnp.int32)
+    vals = [jnp.where(f != 0, p, 0) for p in pays]
+    filled, ff = ktools.fill_scan_multi(vals, f)
+    outs = []
+    for i in range(n_pay):
+        out_v = jnp.where(ff != 0, filled[i], carry[i])
+        outs.append(out_v[0:rows, :])
+        carry[i] = ktools.extract(out_v, rows - 1, _L - 1)
+
+    flat = base + ktools.iota2((rows, _L), 0) * _L + ktools.iota2((rows, _L), 1)
+    scal = [scal_ref[bi, s] for s in range(scal_ref.shape[1])]
+    out_ref[0, 0] = epilogue(outs, flat, scal).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
+                              "inits", "epilogue")
+)
+def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
+                     win_rows, nbits, inits, epilogue):
+    b = keys.shape[0]
+    t_out = n_out // p_out
+    rows = p_out // _L
+    kern = functools.partial(
+        _place_emit_kernel, n_pay, p_out, win_rows, nbits, inits, epilogue
+    )
+    sca = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_spec = pl.BlockSpec(
+        (1, 1, rows, _L), lambda bi, ti: (bi, ti, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, t_out),
+        in_specs=[sca, sca, sca, any_spec] + [any_spec] * n_pay,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t_out, rows, _L), jnp.uint8),
+        scratch_shapes=(
+            [pltpu.VMEM((win_rows, _L), jnp.int32)] * (1 + n_pay)
+            + [
+                pltpu.SMEM((n_pay,), jnp.int32),
+                pltpu.SemaphoreType.DMA((1 + n_pay,)),
+            ]
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(
+        lo, totals, scal,
+        keys.reshape(b, -1, _L),
+        *[p.reshape(b, -1, _L) for p in pays],
+    )
+    return out.reshape(b, n_out)
+
+
+def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
+               p_out=4096):
+    """place_fill fused with a byte-emission epilogue.
+
+    Same placement/fill semantics as ``place_fill``, but instead of
+    materializing the filled int32 streams, each output tile runs
+    ``epilogue(filled_list, flat_positions, per_image_scalars)`` in-kernel
+    and a single (B, n_out) uint8 array is written. ``epilogue`` must be a
+    hashable static callable; ``scalars`` is (B, S) int32."""
+    payloads = list(payloads)
+    b, mc = keys.shape
+    assert n_out % p_out == 0
+    win_rows = -(-(p_out + 2 * _L) // _L) // 8 * 8 + 8
+    nbits = max((p_out - 1).bit_length(), 1)
+    t_out = n_out // p_out
+    idx = jnp.arange(mc, dtype=jnp.int32)
+    masked = jnp.where(
+        idx[None, :] < totals[:, None], keys, jnp.int32(2**30)
+    )
+    bounds = jnp.arange(t_out, dtype=jnp.int32) * p_out
+    lo = jax.vmap(
+        lambda r: jnp.searchsorted(r, bounds, side="left").astype(jnp.int32)
+    )(masked)
+    lo = jnp.minimum(lo, mc - win_rows * _L)
+    return _place_emit_call(
+        lo, totals[:, None], scalars, masked, tuple(payloads),
+        len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
+    )
 
 def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):
     rows = p_out // _L

@@ -1,16 +1,18 @@
 """Large-image (100-400 MPix) codec with the pixel/byte dimension sharded
 across a device mesh (BASELINE config 5; SURVEY.md §2.3 mapping table).
 
-The scan-formulated codecs are built from elementwise passes, log-shift
-scans, triangular-matmul prefix sums, sorts and one monotone scatter — all
-of which GSPMD partitions automatically, inserting the cross-shard
-collectives (the carried codec state per tile boundary — prev pixel, run
-phase, byte offsets — travels as the scans' cross-shard prefix terms over
-ICI). No hand-written communication is required; the Pallas expansion
-engine is bypassed (``expand="xla"``) because GSPMD cannot partition it.
+Built on the rank-1 ("flat") codec kernels: single-image intermediates
+stay (N,)-shaped, which lays out tight on TPU (a rank-2 (1, N) buffer
+pads its unit sublane dimension 8x and blows HBM at 100 Mpx scale).
 
-Encoded/decoded results are byte-exact with the single-chip path; the
-sharding tests assert mesh-size invariance.
+On a one-device mesh the full Pallas engine runs (fast path). On larger
+meshes the XLA expansion path is used (``expand="xla"``) because GSPMD
+cannot partition a Pallas kernel; the scan-formulated codec is elementwise
+passes, log-shift scans, triangular-matmul prefix sums and one monotone
+scatter, all of which GSPMD partitions automatically — the carried codec
+state per shard boundary (prev pixel, run phase, byte offsets) travels as
+the scans' cross-shard prefix terms over ICI. Results are byte-exact with
+the single-chip path; the sharding tests assert mesh-size invariance.
 """
 
 from __future__ import annotations
@@ -32,37 +34,58 @@ def _pad_to(x, mult):
 def encode_large(pixels, desc: spec.SqoaDesc, mesh=None) -> bytes | None:
     """Encode one large image with its pixel dimension sharded over the mesh.
 
-    Returns the full file bytes (byte-exact vs the single-chip encoder)."""
+    Returns the full file bytes (byte-exact vs the single-chip encoder).
+    Compat (.qoi) large images route to the host runtime (the index table
+    is sequential state, see codec/decode_compat.py)."""
     if pixels is None or not spec.validate_encode_desc(desc):
         return None
+    if desc.qoi_compat:
+        from .. import native
+
+        out = native.encode(
+            np.asarray(pixels, np.uint8).ravel(), desc.width, desc.height,
+            desc.channels, desc.colorspace, 1,
+        )
+        return out
     mesh = mesh if mesh is not None else default_mesh(axis="s")
     axis = mesh.axis_names[0]
     n_dev = mesh.size
 
-    rgba = encode_jax.normalize_pixels(pixels, desc)
+    rgba = encode_jax.normalize_pixels(pixels, desc).astype(np.uint32)
+    packed = (
+        rgba[:, 0] | (rgba[:, 1] << 8) | (rgba[:, 2] << 16)
+        | (rgba[:, 3] << 24)
+    ).view(np.int32)
+    del rgba
     n = desc.n_pixels
-    n_pad = _pad_to(max(n, n_dev), n_dev * 256)
+    n_pad = _pad_to(max(n, n_dev), max(n_dev * 256, 32768))
     if n_pad > n:
-        rgba = np.concatenate(
-            [rgba, np.zeros((n_pad - n, 4), np.int32)], axis=0
-        )
-    cap = _pad_to(n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1, 2048)
+        packed = np.concatenate([packed, np.zeros(n_pad - n, np.int32)])
+    # heuristic cap ladder with worst-case retry (most content sits well
+    # under 1 byte/px; the worst case is norm_channels+1)
+    worst = _pad_to(n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1,
+                    4096)
+    ladder = [c for c in (
+        _pad_to(n_pad * 5 // 4, 4096), _pad_to(n_pad * 9 // 4, 4096), worst
+    ) if c <= worst] or [worst]
 
     sharded = jax.device_put(
-        jnp.asarray(rgba)[None], NamedSharding(mesh, P(None, axis, None))
+        jnp.asarray(packed), NamedSharding(mesh, P(axis))
     )
-    nval = jax.device_put(
-        jnp.asarray([n], jnp.int32), NamedSharding(mesh, P())
-    )
-    with mesh:
-        out, total = encode_v2.encode_stream_batched(
-            sharded, nval,
-            colch=desc.col_channels, has_alpha=desc.has_alpha,
-            compat=bool(desc.qoi_compat), out_cap=int(cap), spread="xla",
-        )
-        out.block_until_ready()
-    total = int(jax.device_get(total)[0])
-    body = np.asarray(jax.device_get(out[0]))[:total].tobytes()
+    nval = jnp.int32(n)
+    spread = "auto" if n_dev == 1 else "xla"
+    for cap in ladder:
+        with mesh:
+            out, total = encode_v2.encode_stream_flat(
+                sharded, nval,
+                colch=desc.col_channels, has_alpha=desc.has_alpha,
+                out_cap=int(cap), spread=spread,
+            )
+            out.block_until_ready()
+        total = int(jax.device_get(total))
+        if total <= cap:
+            break
+    body = np.asarray(jax.device_get(out))[:total].tobytes()
     return spec.pack_header(desc) + body
 
 
@@ -90,27 +113,26 @@ def decode_large(data: bytes, channels: int = 0, mesh=None):
     colch = desc.col_channels
     out_ch = channels if channels else colch + (1 if (desc.channels & 1) == 0 else 0)
 
-    m_pad = _pad_to(len(data), n_dev * 256)
+    m_pad = _pad_to(len(data), max(n_dev * 256, 32768))
     buf = np.zeros(m_pad, np.uint8)
     buf[: len(data)] = np.frombuffer(data, np.uint8)
-    n_max = _pad_to(desc.n_pixels, n_dev * 2048)
+    n_max = _pad_to(desc.n_pixels, max(n_dev * 2048, 4096))
 
     arr = jax.device_put(
-        jnp.asarray(buf)[None], NamedSharding(mesh, P(None, axis))
+        jnp.asarray(buf), NamedSharding(mesh, P(axis))
     )
-    cl = jnp.asarray([len(data) - spec.PADDING_SIZE], jnp.int32)
-    npx = jnp.asarray([desc.n_pixels], jnp.int32)
+    expand = "auto" if n_dev == 1 else "xla"
     with mesh:
-        out, has_ref = decode_v2.decode_stream_batched(
-            arr, cl, npx,
-            colch=colch, compat=False, out_ch=out_ch, n_max=int(n_max),
-            expand="xla",
+        out, has_ref = decode_v2.decode_stream_flat(
+            arr, jnp.int32(len(data) - spec.PADDING_SIZE),
+            jnp.int32(desc.n_pixels),
+            colch=colch, out_ch=out_ch, n_max=int(n_max), expand=expand,
         )
         out.block_until_ready()
-    if bool(jax.device_get(has_ref)[0]):
+    if bool(jax.device_get(has_ref)):
         from .. import native
 
         pix, d = native.decode(bytes(data), channels)
         return (pix, spec.SqoaDesc(*d)) if pix is not None else (None, None)
-    pixels = np.asarray(jax.device_get(out[0])).reshape(-1)
+    pixels = np.asarray(jax.device_get(out)).reshape(-1)
     return pixels[: desc.n_pixels * out_ch], desc
