@@ -138,12 +138,12 @@ def main():
     enc_parity = 0
     for (colch, has_alpha, n_pad), idxs in enc_buckets.items():
         b = len(idxs)
-        rgba = np.zeros((b, n_pad, 4), np.int32)
+        rgba = np.zeros((b, n_pad), np.int32)
         nval = np.zeros(b, np.int32)
         for j, i in enumerate(idxs):
             pix, w, h, ch, _ = corpus[i]
             desc = sq.SqoaDesc(w, h, ch, 0, 0)
-            rgba[j, : w * h] = encode_jax.normalize_pixels(pix, desc)
+            rgba[j, : w * h] = encode_jax.normalize_pixels_packed(pix, desc)
             nval[j] = w * h
         # heuristic cap (worst case retried in the BatchEncoder API; the
         # bench corpus fits 0.75x worst)

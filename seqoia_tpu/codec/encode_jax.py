@@ -36,21 +36,29 @@ def normalize_pixels(pixels: np.ndarray, desc: spec.SqoaDesc) -> np.ndarray:
     return out
 
 
+def normalize_pixels_packed(pixels, desc: spec.SqoaDesc) -> np.ndarray:
+    """Flat interleaved input -> (N,) int32 packed r|g<<8|b<<16|a<<24 with
+    the encoder's initial-state conventions (4 bytes/pixel on the wire)."""
+    rgba = normalize_pixels(pixels, desc).astype(np.uint32)
+    return (
+        rgba[:, 0] | (rgba[:, 1] << 8) | (rgba[:, 2] << 16)
+        | (rgba[:, 3] << 24)
+    ).view(np.int32)
+
+
 def encode(pixels, desc: spec.SqoaDesc) -> bytes | None:
     """Full-file encode through the TPU path. Returns the file bytes or None
     on invalid arguments (mirrors sqoa_encode's contract, seqoia.h:465-480).
     """
     if pixels is None or not spec.validate_encode_desc(desc):
         return None
-    rgba_np = normalize_pixels(pixels, desc)
+    rgba_np = normalize_pixels_packed(pixels, desc)
     # Bucket the pixel count to a power of two so image sizes share traces;
     # n_valid masks the padding out of the emission.
     n = desc.n_pixels
     n_pad = 1 << max(n - 1, 1).bit_length()
     if n_pad > n:
-        rgba_np = np.concatenate(
-            [rgba_np, np.zeros((n_pad - n, 4), np.int32)], axis=0
-        )
+        rgba_np = np.concatenate([rgba_np, np.zeros(n_pad - n, np.int32)])
     cap = n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1
     cap = -(-cap // 2048) * 2048  # pallas spread tile multiple
     out, total = encode_stream(

@@ -93,7 +93,7 @@ def _emit_epilogue(colch: int):
 
     def epilogue(filled, t, scal):
         cur_f, prev_f, meta_f, off_f = filled
-        chunk_total, trail_flag = scal[0], scal[1]
+        chunk_total, trail_flag, emit_tail = scal[0], scal[1], scal[2]
         k = t - off_f
         pend_o = meta_f & 0x1FF
         flush_o = (meta_f >> 9) & 0xF
@@ -143,9 +143,11 @@ def _emit_epilogue(colch: int):
         byte = jnp.where(k < flush_o, _flush_byte(pend_o, k), op_byte)
         byte = jnp.where(cls_o == _CL_NONE, spec.OP_BIGRUN, byte)
 
-        total = chunk_total + 8 + trail_flag
+        # tail (trailing BIGRUN + end marker) only when this stream ends
+        # the image (emit_tail=0 for non-final shards of a chunked encode)
+        total = chunk_total + jnp.where(emit_tail != 0, 8 + trail_flag, 0)
         tail_pos = t - chunk_total
-        in_tail = (tail_pos >= 0) & (t < total)
+        in_tail = (tail_pos >= 0) & (t < total) & (emit_tail != 0)
         fd_at = jnp.where(trail_flag != 0, 0, -1)
         one_at = jnp.where(trail_flag != 0, 8, 7)
         tail_byte = jnp.where(
@@ -175,19 +177,21 @@ def _use_pallas_spread(n: int, out_cap: int) -> bool:
     jax.jit,
     static_argnames=("colch", "has_alpha", "compat", "out_cap", "spread"),
 )
-def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
+def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
                           out_cap, spread="auto"):
-    """Encode a batch of normalized (B, N, 4) int32 RGBA pixel arrays.
+    """Encode a batch of packed (B, N) int32 pixel arrays
+    (r|g<<8|b<<16|a<<24, normalized per normalize_pixels_packed — 4 bytes
+    per pixel on the wire instead of 16).
 
     Returns ((B, out_cap) uint8 chunk bytes + trailing BIGRUN + end marker,
     (B,) totals)."""
-    bsz, n, _ = rgba.shape
+    bsz, n = packed.shape
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     valid = idx < n_valid[:, None]
     maxrun = spec.QOI_MAXRUN if compat else spec.SQOA_MAXRUN
 
-    cr, cg, cb, ca = rgba[..., 0], rgba[..., 1], rgba[..., 2], rgba[..., 3]
-    packed = cr | (cg << 8) | (cb << 16) | (ca << 24)
+    cr, cg = packed & 255, (packed >> 8) & 255
+    cb, ca = (packed >> 16) & 255, (packed >> 24) & 255
     init = jnp.int32(_INIT_PACKED)
     prev_packed = jnp.concatenate(
         [jnp.full((bsz, 1), init), packed[:, :-1]], axis=1
@@ -279,7 +283,8 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
         if not compat:
             # fused placement + in-kernel byte emission (single uint8 out)
             scal = jnp.stack(
-                [chunk_total, has_trail.astype(jnp.int32)], axis=-1
+                [chunk_total, has_trail.astype(jnp.int32),
+                 jnp.ones_like(chunk_total)], axis=-1
             )
             out = pallas_engine.place_emit(
                 keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
@@ -421,7 +426,8 @@ def encode_stream_batched(rgba, n_valid, *, colch, has_alpha, compat,
     static_argnames=("colch", "has_alpha", "out_cap", "spread"),
 )
 def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
-                       spread="auto"):
+                       spread="auto", init_prev=None, run_in=None,
+                       emit_tail=None):
     """Single large-image SQOA encode with rank-1 internals.
 
     Same byte contract as the batched kernel, but every intermediate is a
@@ -433,16 +439,32 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     packed: (N,) int32, r|g<<8|b<<16|a<<24 normalized pixels (4 bytes/px
     on the wire instead of 16 — host->device transfer is the large-image
     path's bottleneck). Returns ((out_cap,) uint8, total).
+
+    The optional carry args make this stream a SHARD of a larger image
+    (parallel/tiled.py shard_map path): ``init_prev`` is the packed pixel
+    preceding this shard (default: the codec's (0,0,0,255) initial state,
+    seqoia.h:520-525), ``run_in`` the in-progress run length at entry
+    (mod 512 — carries the BIGRUN phase and pending-flush count across
+    the boundary, seqoia.h:544-561), and ``emit_tail`` whether this shard
+    ends the image (trailing BIGRUN + end marker, seqoia.h:640-646).
     """
     n = packed.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < n_valid
     maxrun = spec.SQOA_MAXRUN
+    if init_prev is None:
+        init_prev = jnp.int32(_INIT_PACKED)
+    if run_in is None:
+        run_in = jnp.int32(0)
+    if emit_tail is None:
+        emit_tail = jnp.int32(1)
 
     cr, cg = packed & 255, (packed >> 8) & 255
     cb, ca = (packed >> 16) & 255, (packed >> 24) & 255
     init = jnp.int32(_INIT_PACKED)
-    prev_packed = jnp.concatenate([jnp.full((1,), init), packed[:-1]])
+    prev_packed = jnp.concatenate(
+        [jnp.asarray(init_prev, jnp.int32).reshape(1), packed[:-1]]
+    )
 
     same = (packed == prev_packed) & valid
     change = (~same) & valid
@@ -450,10 +472,12 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     last_change = scan_ops.hillis_max(jnp.where(change, idx, -1))
     prev_change = jnp.concatenate([jnp.full((1,), -1), last_change[:-1]])
 
-    seg_len = idx - 1 - prev_change
+    # head adjustments: positions before any local change belong to the
+    # run carried in from the previous shard (run_in pixels long)
+    seg_len = idx - 1 - prev_change + jnp.where(prev_change == -1, run_in, 0)
     pending = jnp.where(change, seg_len % maxrun, 0)
     flush_n = jnp.where(pending > 0, (pending - 1) // 61 + 1, 0)
-    seg_pos = idx - last_change
+    seg_pos = idx - last_change + jnp.where(last_change == -1, run_in, 0)
     bigrun = same & (seg_pos % maxrun == 0)
 
     pr, pg = prev_packed & 255, (prev_packed >> 8) & 255
@@ -493,9 +517,12 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     meta = pending | (flush_n << 9) | (cls << 13)
 
     last_c = jnp.max(jnp.where(change, idx, -1))
-    trail_pending = ((n_valid - 1) - last_c) % maxrun
-    has_trail = (trail_pending > 0) & (n_valid > 0)
-    total = chunk_total + 8 + has_trail.astype(jnp.int32)
+    trail_raw = (n_valid - 1) - last_c + jnp.where(last_c == -1, run_in, 0)
+    trail_pending = trail_raw % maxrun
+    has_trail = (trail_pending > 0) & (n_valid > 0) & (emit_tail != 0)
+    total = chunk_total + jnp.where(
+        emit_tail != 0, 8 + has_trail.astype(jnp.int32), 0
+    )
 
     if spread != "xla" and _use_pallas_spread(n, out_cap):
         from ..ops import pallas_engine
@@ -505,7 +532,8 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
                                         meta[None]]
         )
         scal = jnp.stack(
-            [chunk_total, has_trail.astype(jnp.int32)]
+            [chunk_total, has_trail.astype(jnp.int32),
+             jnp.asarray(emit_tail, jnp.int32)]
         )[None, :]
         out = pallas_engine.place_emit(
             keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
@@ -531,7 +559,8 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     t = jnp.arange(out_cap, dtype=jnp.int32)
     out = _emit_epilogue(colch)(
         (cur_f, prev_f, meta_f, off_f), t,
-        (chunk_total, has_trail.astype(jnp.int32)),
+        (chunk_total, has_trail.astype(jnp.int32),
+         jnp.asarray(emit_tail, jnp.int32)),
     ).astype(jnp.uint8)
     return out, total
 
@@ -540,12 +569,12 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     jax.jit,
     static_argnames=("colch", "has_alpha", "compat", "out_cap"),
 )
-def encode_stream(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
-    """Single-image encode: (N, 4) int32 -> ((out_cap,) uint8, total).
+def encode_stream(packed, n_valid, *, colch, has_alpha, compat, out_cap):
+    """Single-image encode: packed (N,) int32 -> ((out_cap,) uint8, total).
 
     Thin wrapper over the batched kernel."""
     out, total = encode_stream_batched(
-        rgba[None], jnp.asarray(n_valid, jnp.int32)[None],
+        packed[None], jnp.asarray(n_valid, jnp.int32)[None],
         colch=colch, has_alpha=has_alpha, compat=compat, out_cap=out_cap,
     )
     return out[0], total[0]

@@ -223,10 +223,12 @@ class BatchEncoder:
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             norm_ch = colch + has_alpha
-            rgba = np.zeros((b_pad, n_pad, 4), np.int32)
+            rgba = np.zeros((b_pad, n_pad), np.int32)
             nval = np.zeros((b_pad,), np.int32)
             for j, (_, pix, desc) in enumerate(items):
-                rgba[j, : desc.n_pixels] = encode_jax.normalize_pixels(pix, desc)
+                rgba[j, : desc.n_pixels] = encode_jax.normalize_pixels_packed(
+                    pix, desc
+                )
                 nval[j] = desc.n_pixels
             args = jax.device_put(
                 (jnp.asarray(rgba), jnp.asarray(nval)), (sharding, sharding)

@@ -45,7 +45,7 @@ got = np.asarray(out[0]).reshape(-1)
 assert np.array_equal(got, pix.ravel()), "interpret decode mismatch"
 assert not bool(np.asarray(has_ref)[0])
 
-rgba = encode_jax.normalize_pixels(pix.ravel(), sq.SqoaDesc(w, h, 3, 0, 0))
+rgba = encode_jax.normalize_pixels_packed(pix.ravel(), sq.SqoaDesc(w, h, 3, 0, 0))
 cap = -(-(w * h * 4 + 9) // 2048) * 2048
 eo, et = encode_v2.encode_stream_batched(
     jnp.asarray(rgba)[None], jnp.asarray([w * h], jnp.int32),
@@ -60,7 +60,7 @@ pix2 = np.zeros((w * h, 3), np.uint8)
 pix2[(np.arange(w * h) // 4099) % 2 == 1] = (7, 9, 11)
 stream2 = native.encode(pix2.ravel(), w, h, 3, 0, 0)
 eo2, et2 = encode_v2.encode_stream_batched(
-    jnp.asarray(encode_jax.normalize_pixels(pix2.ravel(), sq.SqoaDesc(w, h, 3, 0, 0)))[None],
+    jnp.asarray(encode_jax.normalize_pixels_packed(pix2.ravel(), sq.SqoaDesc(w, h, 3, 0, 0)))[None],
     jnp.asarray([w * h], jnp.int32),
     colch=3, has_alpha=False, compat=False, out_cap=cap,
 )

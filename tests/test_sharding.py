@@ -58,3 +58,28 @@ def test_decode_large_qoi_falls_back():
     oracle, _ = native.decode(stream, 0)
     assert np.array_equal(ours, oracle)
     assert desc.qoi_compat == 1
+
+
+def test_encode_large_shardmap_parity_and_invariance():
+    """shard_map encode variant: per-shard engine with explicit carried
+    state (px_prev, run phase, tail ownership) matches the oracle and is
+    mesh-size invariant — including runs crossing shard boundaries."""
+    import numpy as np
+
+    from seqoia_tpu import native
+
+    rng = np.random.default_rng(5)
+    n = 8 * 32768 + 1234
+    pix = np.zeros((n, 3), np.uint8)
+    blocks = (np.arange(n) // 700) % 3
+    pix[blocks == 1] = (9, 7, 5)
+    pix[blocks == 2] = rng.integers(0, 256, (int((blocks == 2).sum()), 3))
+    pix[60000:140000] = (3, 3, 3)  # run crossing two shard boundaries
+    desc = sq.SqoaDesc(n, 1, 3, 0, 0)
+    oracle = native.encode(pix.ravel(), n, 1, 3, 0, 0)
+    m8 = default_mesh(jax.devices(), axis="s")
+    m2 = default_mesh(jax.devices()[:2], axis="s")
+    s8 = tiled.encode_large_shardmap(pix.ravel(), desc, m8)
+    s2 = tiled.encode_large_shardmap(pix.ravel(), desc, m2)
+    assert s8 == oracle
+    assert s2 == oracle
