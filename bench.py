@@ -55,7 +55,7 @@ def main():
     from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
     from seqoia_tpu.utils import make_corpus
 
-    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "16.0"))
+    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "32.0"))
     runs = int(os.environ.get("SEQOIA_BENCH_RUNS", "5"))
     corpus = make_corpus(scale, labels=True)
     total_px = sum(w * h for _, w, h, _, _ in corpus)
