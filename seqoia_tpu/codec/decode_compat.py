@@ -122,7 +122,7 @@ def _op_values(ops, iv, valid):
 def decode_stream_compat_batched(data, chunks_len, n_pixels, *, colch,
                                  out_ch, n_max, expand="auto"):
     """Batched QOI-compat decode, color mode. data: (B, M) uint8 with
-    M % 32768 == 0. Returns (pixels (B, n_max, out_ch) uint8, converged
+    M % 32768 == 0. Returns (pixels (B, n_max*out_ch) flat uint8, converged
     (B,) bool). Unconverged rows must be re-decoded by the caller on the
     host path."""
     assert colch == 3, "mono compat stays on the lax.scan path"

@@ -169,7 +169,7 @@ def decode_stream_compat(data, chunks_len, n_pixels, *, colch, out_ch,
         cols.append(a)
     out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
     out = jnp.where((t < n_pixels)[:, None], out, 0)
-    return out
+    return out.reshape(n_max * out_ch)  # flat, matching the hot paths
 
 
 def decode(data: bytes, channels: int = 0):

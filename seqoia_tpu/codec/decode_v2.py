@@ -107,6 +107,59 @@ def _modifier_mask(b, token, colch: int, compat: bool):
     return alpha_tok & ((alpha_idx & 1) == want_parity)
 
 
+_DEC_EPILOGUES = {}
+
+
+def _dec_epilogue(out_ch: int):
+    """In-kernel pixel emission for place_emit (color decode).
+
+    out_ch=4: mask past n_pixels — the packed int32 words ARE the
+    interleaved RGBA bytes (little-endian bitcast at the caller).
+    out_ch=3: additionally drop every 4th byte (the alpha lane) with a
+    static butterfly compaction over the tile, so the int32 output words
+    bitcast directly to the interleaved RGB stream. Cached per mode so the
+    callable hashes stably for jit."""
+    if out_ch in _DEC_EPILOGUES:
+        return _DEC_EPILOGUES[out_ch]
+    from ..ops import ktools
+
+    if out_ch == 4:
+        def epilogue(filled, base, scal):
+            packed = filled[0]
+            rows, L = packed.shape
+            pix = base + ktools.iota2((rows, L), 0) * L \
+                + ktools.iota2((rows, L), 1)
+            return jnp.where(pix < scal[0], packed, 0)
+    else:
+        def epilogue(filled, base, scal):
+            packed = filled[0]
+            rows, L = packed.shape
+            flat = ktools.iota2((rows, L), 0) * L + ktools.iota2((rows, L), 1)
+            x = jnp.where(base + flat < scal[0], packed, 0)
+            x1 = ktools.flat_shift_left(x, 1, 0)
+            # drop bytes === 3 (mod 4): static monotone butterfly; after
+            # it, word w holds pixel 4w//3 (p0) and its successor (p1)
+            keep = (flat & 3) != 3
+            d = jnp.where(keep, flat >> 2, -1)
+            nbits = max((rows * L // 4 - 1).bit_length(), 1)
+            _, (p0,) = ktools.butterfly_compact(d, [x], nbits)
+            _, (p1,) = ktools.butterfly_compact(d, [x1], nbits)
+            wrows = rows * 3 // 4
+            src0, src1 = p0[0:wrows, :], p1[0:wrows, :]
+            wl = ktools.iota2((wrows, L), 0) * L + ktools.iota2((wrows, L), 1)
+            m3 = wl % 3
+            word = jnp.zeros((wrows, L), jnp.int32)
+            for k in range(4):
+                nxt = ((4 * m3 + k) // 3 - (4 * m3) // 3) > 0
+                s8 = 8 * ((m3 + k) % 3)
+                byte = (jnp.where(nxt, src1, src0) >> s8) & 255
+                word = word | (byte << (8 * k))
+            return word
+
+    _DEC_EPILOGUES[out_ch] = epilogue
+    return epilogue
+
+
 def _use_pallas_expand(m: int, n_max: int) -> bool:
     import os
 
@@ -121,16 +174,23 @@ def _use_pallas_expand(m: int, n_max: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("colch", "compat", "out_ch", "n_max", "expand"),
+    static_argnames=("colch", "compat", "out_ch", "n_max", "expand", "emit"),
 )
 def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
-                          out_ch, n_max, expand="auto"):
+                          out_ch, n_max, expand="auto", emit="u8"):
     """Decode a batch of SQOA (non-compat) streams. See module docstring.
+
+    emit="words" returns the pixels as (B, n_max*out_ch//4) int32 whose
+    little-endian bytes are the interleaved pixel stream — numpy's free
+    ``.view(np.uint8)`` on the host replaces an on-device int32->uint8
+    relayout (TPU tiled layouts differ per dtype, so the bitcast is a real
+    copy). Requires n_max*out_ch % 4 == 0.
 
     data: (B, M) uint8; chunks_len, n_pixels: (B,) int32.
     expand="xla" forces the scatter-based expansion (required when running
     under GSPMD sharding, which cannot partition the Pallas engine).
-    Returns (pixels (B, n_max, out_ch) uint8, has_ref (B,) bool)."""
+    Returns (pixels (B, n_max*out_ch) flat interleaved uint8, has_ref
+    (B,) bool)."""
     assert not compat, "use decode_stream_compat for QOI streams"
     bsz0, m0 = data.shape
     if (
@@ -146,12 +206,29 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         keys_c, pays_c, totals = pallas_engine.compact(
             valid_op, pixoff, [packed]
         )
+        init = int(np.int32(np.uint32(255 << 24)))
+        p_out = 4096 if n_max % 4096 == 0 else 2048
+        if out_ch in (3, 4):
+            # in-kernel emission: packed int32 words bitcast straight to
+            # the interleaved uint8 pixels (LE byte order; out_ch=3 drops
+            # the alpha lane with a static butterfly inside the epilogue)
+            rows = p_out // 128
+            out_rows = rows if out_ch == 4 else rows * 3 // 4
+            words = pallas_engine.place_emit(
+                keys_c, pays_c, totals, n_pixels[:, None], n_max, (init,),
+                _dec_epilogue(out_ch), p_out=p_out, out_rows=out_rows,
+                out_dtype=jnp.int32,
+            )
+            if emit == "words":
+                return words, ref_flag != 0
+            out = jax.lax.bitcast_convert_type(words, jnp.uint8)
+            out = out.reshape(bsz0, n_max * out_ch)
+            return out, ref_flag != 0
         filled = pallas_engine.place_fill(
-            keys_c, pays_c, totals, n_max,
-            (int(np.int32(np.uint32(255 << 24))),),
-            p_out=4096 if n_max % 4096 == 0 else 2048,
+            keys_c, pays_c, totals, n_max, (init,), p_out=p_out,
         )[0]
-        return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), ref_flag != 0
+        out = _emit_pixels(filled, n_pixels, colch, out_ch, n_max)
+        return _maybe_words(out, emit), ref_flag != 0
 
     b = data.astype(jnp.int32)
     is_op, npix, pixoff, packed, has_ref = _reconstruct(
@@ -187,7 +264,19 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         )
         filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
-    return _emit_pixels(filled, n_pixels, colch, out_ch, n_max), has_ref
+    out = _emit_pixels(filled, n_pixels, colch, out_ch, n_max)
+    return _maybe_words(out, emit), has_ref
+
+
+def _maybe_words(u8_flat, emit):
+    """Flat uint8 pixels -> int32 words when emit="words" (fallback paths;
+    the relayout only runs where the in-kernel emission didn't)."""
+    if emit != "words":
+        return u8_flat
+    b, n = u8_flat.shape
+    return jax.lax.bitcast_convert_type(
+        u8_flat.reshape(b, n // 4, 4), jnp.int32
+    )
 
 
 def _reconstruct(b, chunks_len_b, colch, compat):
@@ -271,7 +360,7 @@ def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
     (seqoia.h:428-432, BASELINE config 5) blow HBM; rank-1 (and the
     engine's internal rank-3) layouts are tight.
 
-    data: (M,) uint8. Returns ((n_max, out_ch) uint8, has_ref scalar).
+    data: (M,) uint8. Returns ((n_max*out_ch,) flat uint8, has_ref scalar).
     """
     b = data.astype(jnp.int32)
     is_op, npix, pixoff, packed, has_ref = _reconstruct(
@@ -303,7 +392,7 @@ def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
         )
         filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
-    # flat emit ((n_max,) temps; (n_max, out_ch) output lays out tight)
+    # flat emit ((n_max,) temps; flat interleaved output lays out tight)
     r = filled & 255
     g = (filled >> 8) & 255
     bb = (filled >> 16) & 255
@@ -319,10 +408,15 @@ def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
     out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
     t = jnp.arange(n_max, dtype=jnp.int32)
     out = jnp.where((t < n_pixels)[:, None], out, 0)
-    return out, has_ref
+    return out.reshape(n_max * out_ch), has_ref
 
 
 def _emit_pixels(filled, n_pixels, colch, out_ch, n_max):
+    """Packed int32 pixel grid -> flat interleaved uint8 (B, n_max*out_ch).
+
+    Flat output deliberately: a rank-3 (B, n_max, out_ch) uint8 array puts
+    out_ch in the 128-lane minor dimension on TPU — a 32-43x padded layout
+    that costs a giant relayout copy. Callers reshape on the host."""
     r = filled & 255
     g = (filled >> 8) & 255
     bb = (filled >> 16) & 255
@@ -339,14 +433,14 @@ def _emit_pixels(filled, n_pixels, colch, out_ch, n_max):
         cols.append(a)
     out = jnp.stack(cols[:out_ch], axis=2).astype(jnp.uint8)
     out = jnp.where((t < n_pixels[:, None])[:, :, None], out, 0)
-    return out
+    return out.reshape(out.shape[0], n_max * out_ch)
 
 
 @functools.partial(
     jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
 )
 def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
-    """Single-stream decode: (M,) uint8 -> ((n_max, out_ch) uint8, has_ref).
+    """Single-stream decode: (M,) uint8 -> ((n_max*out_ch,) flat uint8, has_ref).
 
     Thin wrapper over the batched kernel."""
     out, has_ref = decode_stream_batched(

@@ -91,9 +91,16 @@ def _emit_epilogue(colch: int):
     if colch in _EPILOGUES:
         return _EPILOGUES[colch]
 
-    def epilogue(filled, t, scal):
+    def epilogue(filled, base, scal):
         cur_f, prev_f, meta_f, off_f = filled
         chunk_total, trail_flag, emit_tail = scal[0], scal[1], scal[2]
+        if cur_f.ndim == 2:  # in-kernel: rebuild global byte positions
+            rows, L = cur_f.shape
+            t = base + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, L), 0
+            ) * L + jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+        else:  # XLA fallback passes the positions directly
+            t = base
         k = t - off_f
         pend_o = meta_f & 0x1FF
         flush_o = (meta_f >> 9) & 0xF

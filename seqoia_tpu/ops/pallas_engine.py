@@ -182,7 +182,8 @@ def compact(valid, key, payloads):
 # place_fill (+ fused in-kernel emit epilogue)
 # ---------------------------------------------------------------------------
 
-def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue, *refs):
+def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
+                       out_rows, out_dtype, *refs):
     rows = p_out // _L
     lo_ref = refs[0]
     total_ref = refs[1]
@@ -236,27 +237,26 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue, *refs):
         outs.append(out_v[0:rows, :])
         carry[i] = ktools.extract(out_v, rows - 1, _L - 1)
 
-    flat = base + ktools.iota2((rows, _L), 0) * _L + ktools.iota2((rows, _L), 1)
     scal = [scal_ref[bi, s] for s in range(scal_ref.shape[1])]
-    out_ref[0, 0] = epilogue(outs, flat, scal).astype(jnp.uint8)
+    out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
-                              "inits", "epilogue")
+                              "inits", "epilogue", "out_rows", "out_dtype")
 )
 def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
-                     win_rows, nbits, inits, epilogue):
+                     win_rows, nbits, inits, epilogue, out_rows, out_dtype):
     b = keys.shape[0]
     t_out = n_out // p_out
-    rows = p_out // _L
     kern = functools.partial(
-        _place_emit_kernel, n_pay, p_out, win_rows, nbits, inits, epilogue
+        _place_emit_kernel, n_pay, p_out, win_rows, nbits, inits, epilogue,
+        out_rows, out_dtype,
     )
     sca = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
-        (1, 1, rows, _L), lambda bi, ti: (bi, ti, 0, 0),
+        (1, 1, out_rows, _L), lambda bi, ti: (bi, ti, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -264,7 +264,7 @@ def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
         grid=(b, t_out),
         in_specs=[sca, sca, sca, any_spec] + [any_spec] * n_pay,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, t_out, rows, _L), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, t_out, out_rows, _L), out_dtype),
         scratch_shapes=(
             [pltpu.VMEM((win_rows, _L), jnp.int32)] * (1 + n_pay)
             + [
@@ -279,21 +279,26 @@ def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
         keys.reshape(b, -1, _L),
         *[p.reshape(b, -1, _L) for p in pays],
     )
-    return out.reshape(b, n_out)
+    return out.reshape(b, t_out * out_rows * _L)
 
 
 def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
-               p_out=4096):
-    """place_fill fused with a byte-emission epilogue.
+               p_out=4096, out_rows=None, out_dtype=jnp.uint8):
+    """place_fill fused with an emission epilogue.
 
     Same placement/fill semantics as ``place_fill``, but instead of
     materializing the filled int32 streams, each output tile runs
-    ``epilogue(filled_list, flat_positions, per_image_scalars)`` in-kernel
-    and a single (B, n_out) uint8 array is written. ``epilogue`` must be a
-    hashable static callable; ``scalars`` is (B, S) int32."""
+    ``epilogue(filled_list, tile_base, per_image_scalars)`` in-kernel and
+    one (B, t_out * out_rows * 128) ``out_dtype`` array is written
+    (out_rows defaults to the p_out//128 placement rows; a different value
+    lets the epilogue change the per-tile output geometry, e.g. the
+    RGB-interleave emitting 3 output bytes per pixel). ``epilogue`` must
+    be a hashable static callable; ``scalars`` is (B, S) int32."""
     payloads = list(payloads)
     b, mc = keys.shape
     assert n_out % p_out == 0
+    if out_rows is None:
+        out_rows = p_out // _L
     win_rows = -(-(p_out + 2 * _L) // _L) // 8 * 8 + 8
     nbits = max((p_out - 1).bit_length(), 1)
     t_out = n_out // p_out
@@ -309,6 +314,7 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     return _place_emit_call(
         lo, totals[:, None], scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
+        out_rows, out_dtype,
     )
 
 def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):

@@ -63,6 +63,7 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
     return decode_v2.decode_stream_batched(
         data, chunks_len, n_pixels,
         colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
+        emit="words",
     )
 
 
@@ -147,6 +148,8 @@ class BatchDecoder:
                 n_max=n_max, max_ops=max_ops,
             )
             out = np.asarray(out)
+            if out.dtype == np.int32:  # emit="words": free host-side view
+                out = out.view(np.uint8)
             need_fb = np.asarray(need_fb)
             fallback = []
             for j, (i, data, desc) in enumerate(items):
