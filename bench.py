@@ -104,7 +104,7 @@ def main():
         fn = functools.partial(
             decode_v2.decode_stream_batched,
             colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
-            emit="words",
+            emit="words", src_alpha=(out_ch == 4),
         )
         out, _ = fn(*args)
         float(sync(out))  # compile + settle

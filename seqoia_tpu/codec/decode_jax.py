@@ -227,6 +227,7 @@ def decode(data: bytes, channels: int = 0):
     out, has_ref = decode_stream(
         arr, jnp.int32(chunks_len), jnp.int32(n_pix),
         colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
+        src_alpha=desc.has_alpha,
     )
     if bool(has_ref):
         pixels, d = native.decode(bytes(data), channels)

@@ -174,10 +174,12 @@ def _use_pallas_expand(m: int, n_max: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("colch", "compat", "out_ch", "n_max", "expand", "emit"),
+    static_argnames=("colch", "compat", "out_ch", "n_max", "expand", "emit",
+                     "src_alpha"),
 )
 def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
-                          out_ch, n_max, expand="auto", emit="u8"):
+                          out_ch, n_max, expand="auto", emit="u8",
+                          src_alpha=True):
     """Decode a batch of SQOA (non-compat) streams. See module docstring.
 
     emit="words" returns the pixels as (B, n_max*out_ch//4) int32 whose
@@ -200,8 +202,11 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         # fully-fused front-end + butterfly data-movement engine (hot path)
         from ..ops import pallas_engine, pallas_frontend
 
+        # alpha-less sources (header channels==3) take a front-end variant
+        # that skips the alpha-train machinery entirely; foreign streams
+        # containing alpha tokens get flagged for the host fallback
         valid_op, pixoff, packed, ref_flag = pallas_frontend.decode_frontend(
-            data, chunks_len, n_max
+            data, chunks_len, n_max, no_alpha=not src_alpha
         )
         keys_c, pays_c, totals = pallas_engine.compact(
             valid_op, pixoff, [packed]
@@ -437,9 +442,11 @@ def _emit_pixels(filled, n_pixels, colch, out_ch, n_max):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max")
+    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max",
+                              "src_alpha")
 )
-def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
+def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max,
+                  src_alpha=True):
     """Single-stream decode: (M,) uint8 -> ((n_max*out_ch,) flat uint8, has_ref).
 
     Thin wrapper over the batched kernel."""
@@ -448,5 +455,6 @@ def decode_stream(data, chunks_len, n_pixels, *, colch, compat, out_ch, n_max):
         jnp.asarray(chunks_len, jnp.int32)[None],
         jnp.asarray(n_pixels, jnp.int32)[None],
         colch=colch, compat=compat, out_ch=out_ch, n_max=n_max,
+        src_alpha=src_alpha,
     )
     return out[0], has_ref[0]

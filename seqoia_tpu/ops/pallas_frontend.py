@@ -116,7 +116,7 @@ def _seg_combine(l, r):
     return ch0 | ch1 | (l & _F2) | (r & _F2)
 
 
-def _frontend_kernel(n_max, *refs):
+def _frontend_kernel(n_max, no_alpha, *refs):
     (data_ref, clen_ref, valid_ref, pixoff_ref, packed_ref, ref_ref,
      dbuf, carry, sem) = refs
 
@@ -179,59 +179,72 @@ def _frontend_kernel(n_max, *refs):
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
     carry[_C_MAP] = _compose_scalar(carry[_C_MAP], tile_map)
 
-    carry[_C_REF] = carry[_C_REF] | jnp.max(
-        jnp.where(
-            token & (b < spec.OP_ALPHA) & (row < _R), 1, 0
+    if no_alpha:
+        # fast front for alpha-less sources (header channels==3): the
+        # encoder never emits ALPHA modifiers for them (va==0 always,
+        # seqoia.h:616-618), so any alpha-range token means a foreign/
+        # corrupt stream — flag it for the host fallback, like REF
+        carry[_C_REF] = carry[_C_REF] | jnp.max(
+            jnp.where(token & (b < spec.OP_LUMA) & (row < _R), 1, 0)
         )
-    )
+        is_mod = jnp.zeros_like(token)
+        is_op = token
+    else:
+        carry[_C_REF] = carry[_C_REF] | jnp.max(
+            jnp.where(
+                token & (b < spec.OP_ALPHA) & (row < _R), 1, 0
+            )
+        )
 
-    # --- alpha modifier / run alternation ------------------------------------
-    alpha_tok = token & (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
-    op_tok = token & ~alpha_tok
-    acnt_loc = _lane_row_scan(
-        alpha_tok.astype(jnp.int32), lambda a, c: a + c, 0, _RH
-    )
-    acnt = acnt_loc + carry[_C_ACNT]
-    # fill acnt at op positions (value scan with flags)
-    fv, ff = acnt, op_tok.astype(jnp.int32)
+        # --- alpha modifier / run alternation --------------------------------
+        alpha_tok = token & (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
+        op_tok = token & ~alpha_tok
+        acnt_loc = _lane_row_scan(
+            alpha_tok.astype(jnp.int32), lambda a, c: a + c, 0, _RH
+        )
+        acnt = acnt_loc + carry[_C_ACNT]
+        # fill acnt at op positions (value scan with flags)
+        fv, ff = acnt, op_tok.astype(jnp.int32)
 
-    def fill2(vals, flags):
-        v, f = vals, flags
-        k = 1
-        while k < _L:
-            vs = jnp.where(lane >= k, pltpu.roll(v, k, 1), 0)
-            fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
-            v = jnp.where(f != 0, v, vs)
-            f = f | fs
-            k *= 2
-        va = jnp.broadcast_to(v[:, _L - 1 : _L], (_RH, _L))
-        fa = jnp.broadcast_to(f[:, _L - 1 : _L], (_RH, _L))
-        vp = jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0)
-        fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
-        k = 1
-        while k < _RH:
-            vs = jnp.where(row >= k, pltpu.roll(vp, k, 0), 0)
-            fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
-            vp = jnp.where(fp != 0, vp, vs)
-            fp = fp | fs
-            k *= 2
-        v_out = jnp.where(f != 0, v, vp)
-        f_out = f | fp
-        return v_out, f_out
+        def fill2(vals, flags):
+            v, f = vals, flags
+            k = 1
+            while k < _L:
+                vs = jnp.where(lane >= k, pltpu.roll(v, k, 1), 0)
+                fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
+                v = jnp.where(f != 0, v, vs)
+                f = f | fs
+                k *= 2
+            va = jnp.broadcast_to(v[:, _L - 1 : _L], (_RH, _L))
+            fa = jnp.broadcast_to(f[:, _L - 1 : _L], (_RH, _L))
+            vp = jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0)
+            fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
+            k = 1
+            while k < _RH:
+                vs = jnp.where(row >= k, pltpu.roll(vp, k, 0), 0)
+                fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
+                vp = jnp.where(fp != 0, vp, vs)
+                fp = fp | fs
+                k *= 2
+            v_out = jnp.where(f != 0, v, vp)
+            f_out = f | fp
+            return v_out, f_out
 
-    brk_loc, brk_f = fill2(fv, ff)
-    brk = jnp.where(brk_f != 0, brk_loc, carry[_C_BRK])
-    seen = (brk_f != 0) | (carry[_C_SEEN] != 0)
-    alpha_idx = acnt - brk
-    want = jnp.where(seen, 1, 0)
-    is_mod = alpha_tok & ((alpha_idx & 1) == want)
-    is_op = token & ~is_mod
+        brk_loc, brk_f = fill2(fv, ff)
+        brk = jnp.where(brk_f != 0, brk_loc, carry[_C_BRK])
+        seen = (brk_f != 0) | (carry[_C_SEEN] != 0)
+        alpha_idx = acnt - brk
+        want = jnp.where(seen, 1, 0)
+        is_mod = alpha_tok & ((alpha_idx & 1) == want)
+        is_op = token & ~is_mod
 
-    carry[_C_ACNT] = _extract(acnt, _R - 1, _L - 1)
-    brk_end = _extract(jnp.where(brk_f != 0, brk_loc, _INT_MIN), _R - 1, _L - 1)
-    seen_any = jnp.max(jnp.where(row < _R, brk_f, 0))
-    carry[_C_BRK] = jnp.where(brk_end != _INT_MIN, brk_end, carry[_C_BRK])
-    carry[_C_SEEN] = jnp.where(seen_any != 0, 1, carry[_C_SEEN])
+        carry[_C_ACNT] = _extract(acnt, _R - 1, _L - 1)
+        brk_end = _extract(
+            jnp.where(brk_f != 0, brk_loc, _INT_MIN), _R - 1, _L - 1
+        )
+        seen_any = jnp.max(jnp.where(row < _R, brk_f, 0))
+        carry[_C_BRK] = jnp.where(brk_end != _INT_MIN, brk_end, carry[_C_BRK])
+        carry[_C_SEEN] = jnp.where(seen_any != 0, 1, carry[_C_SEEN])
 
     # --- pixel counts + offsets ----------------------------------------------
     run_px = (b & 0x3F) + 1
@@ -246,19 +259,21 @@ def _frontend_kernel(n_max, *refs):
 
     # --- channel elements -----------------------------------------------------
     vg = (b & 0x3F) - 32
-    mod_delta = jnp.where(is_mod, (b & 0x1F) - 16, 0)
-    attached = jnp.zeros_like(b)
-    for L in (1, 2, 4, 5):
-        attached = attached + jnp.where(
-            lens == L, _shift_flat_left(mod_delta, L), 0
-        )
     anchor_rgb = is_op & (is_rgb | is_rgba)
     anchor_a = is_op & is_rgba
     luma_op = is_op & is_luma
     r_el = jnp.where(anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0))
     g_el = jnp.where(anchor_rgb, b2, jnp.where(luma_op, vg, 0))
     b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
-    a_el = jnp.where(anchor_a, b4, 0) + jnp.where(is_op, attached, 0)
+    a_el = jnp.where(anchor_a, b4, 0)
+    if not no_alpha:
+        mod_delta = jnp.where(is_mod, (b & 0x1F) - 16, 0)
+        attached = jnp.zeros_like(b)
+        for L in (1, 2, 4, 5):
+            attached = attached + jnp.where(
+                lens == L, _shift_flat_left(mod_delta, L), 0
+            )
+        a_el = a_el + jnp.where(is_op, attached, 0)
 
     def pack_pair(v0, f0, v1, f1):
         return (
@@ -294,13 +309,14 @@ def _frontend_kernel(n_max, *refs):
         ref_ref[0] = jnp.full((8, _L), carry[_C_REF], jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_max",))
-def decode_frontend(data, chunks_len, n_max):
+@functools.partial(jax.jit, static_argnames=("n_max", "no_alpha"))
+def decode_frontend(data, chunks_len, n_max, no_alpha=False):
     """Fused front-end for color non-compat streams.
 
     data: (B, M) uint8, M % 32768 == 0 (padding bytes are zeros — parsed as
     dead tokens past chunks_len). Returns (valid, pixoff, packed) int32
-    (B, M) arrays plus has_ref (B,) int32.
+    (B, M) arrays plus a fallback flag (B,) int32 (REF tokens; with
+    ``no_alpha``, also any alpha-range token — see the kernel comment).
     """
     b, m = data.shape
     t = m // _TILE
@@ -308,7 +324,7 @@ def decode_frontend(data, chunks_len, n_max):
     d32 = data.astype(jnp.int32).reshape(b, m // _L, _L)
     d32 = jnp.pad(d32, ((0, 0), (0, _RH + 7), (0, 0)))
 
-    kern = functools.partial(_frontend_kernel, n_max)
+    kern = functools.partial(_frontend_kernel, n_max, no_alpha)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec(

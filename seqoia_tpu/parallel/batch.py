@@ -36,10 +36,11 @@ def _next_pow2(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max", "max_ops")
+    jax.jit, static_argnames=("colch", "compat", "out_ch", "n_max", "max_ops",
+                              "src_alpha")
 )
 def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
-                         n_max, max_ops):
+                         n_max, max_ops, src_alpha=True):
     """Returns (pixels, need_fallback): flagged rows must be re-decoded on
     the host path (SQOA: REF-op streams; compat: fixpoint non-convergence).
     """
@@ -63,7 +64,7 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
     return decode_v2.decode_stream_batched(
         data, chunks_len, n_pixels,
         colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
-        emit="words",
+        emit="words", src_alpha=src_alpha,
     )
 
 
@@ -118,12 +119,16 @@ class BatchDecoder:
             start = spec.HEADER_SIZE + (0 if desc.qoi_compat else 1)
             max_ops = _next_pow2(max(len(data) - 8 - start, 1))
             n_max = _next_pow2(desc.n_pixels)
-            key = (colch, bool(desc.qoi_compat), out_ch, m_pad, max_ops, n_max)
+            key = (colch, bool(desc.qoi_compat), out_ch, m_pad, max_ops,
+                   n_max, desc.has_alpha)
             groups[key].append((i, data, desc))
 
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
-        for (colch, compat, out_ch, m_pad, max_ops, n_max), items in groups.items():
+        for (colch, compat, out_ch, m_pad, max_ops, n_max,
+             src_alpha) in list(groups):
+            items = groups[(colch, compat, out_ch, m_pad, max_ops, n_max,
+                            src_alpha)]
             if compat and not _compat_use_tpu():
                 # hybrid dispatch: .qoi -> host pool (see _compat_use_tpu)
                 self._host_pool(
@@ -145,7 +150,7 @@ class BatchDecoder:
             )
             out, need_fb = _decode_batch_kernel(
                 *args, colch=colch, compat=compat, out_ch=out_ch,
-                n_max=n_max, max_ops=max_ops,
+                n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
             )
             out = np.asarray(out)
             if out.dtype == np.int32:  # emit="words": free host-side view
@@ -223,6 +228,28 @@ class BatchEncoder:
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
         for (colch, has_alpha, compat, n_pad), items in groups.items():
+            if compat and n_pad > 1 << 20:
+                # QOI-compat hash-index resolution uses a bitonic sort over
+                # pixel space; XLA's TPU sort does not scale to multi-Mpx
+                # arrays on this backend (NOTES_ROUND2.md). Host runtime
+                # handles large compat encodes, batch-parallel.
+                from concurrent.futures import ThreadPoolExecutor
+
+                from .. import native
+
+                def host_encode(arg):
+                    i, pix, desc = arg
+                    return i, native.encode(
+                        np.asarray(pix, np.uint8).ravel(), desc.width,
+                        desc.height, desc.channels, desc.colorspace, 1,
+                    )
+
+                with ThreadPoolExecutor(
+                    min(len(items), os.cpu_count() or 8)
+                ) as ex:
+                    for i, data in ex.map(host_encode, items):
+                        results[i] = data
+                continue
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             norm_ch = colch + has_alpha
@@ -237,26 +264,48 @@ class BatchEncoder:
                 (jnp.asarray(rgba), jnp.asarray(nval)), (sharding, sharding)
             )
             # Heuristic output cap (typical rates are well under 1 B/px;
-            # worst case is norm_ch+1) with overflow retry: the kernels
-            # clip writes at out_cap, and totals reveal which images need
-            # the full-size pass.
+            # worst case is norm_ch+1). Overflow retry re-runs only the
+            # offending images at the worst-case cap: the kernels clip
+            # writes at out_cap, and totals reveal which images overflowed.
             worst = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
             cap = min(-(-(worst * 3 // 4) // 2048) * 2048,
                       -(-worst // 2048) * 2048)
-            for attempt in range(2):
-                out, totals = _encode_batch_kernel(
-                    *args, colch=colch, has_alpha=has_alpha, compat=compat,
-                    out_cap=int(cap),
-                )
-                totals = np.asarray(totals)
-                if (totals <= cap).all() or attempt == 1:
-                    break
-                cap = -(-worst // 2048) * 2048
+            out, totals = _encode_batch_kernel(
+                *args, colch=colch, has_alpha=has_alpha, compat=compat,
+                out_cap=int(cap),
+            )
+            totals = np.asarray(totals)
             out = np.asarray(out)
-            for j, (i, pix, desc) in enumerate(items):
-                results[i] = (
-                    spec.pack_header(desc) + out[j, : totals[j]].tobytes()
+            over = [j for j in range(b) if totals[j] > cap]
+            if over:
+                full = -(-worst // 2048) * 2048
+                b2 = -(-len(over) // n_dev) * n_dev
+                rgba2 = np.zeros((b2, n_pad), np.int32)
+                nval2 = np.zeros((b2,), np.int32)
+                for jj, j in enumerate(over):
+                    rgba2[jj] = rgba[j]
+                    nval2[jj] = nval[j]
+                args2 = jax.device_put(
+                    (jnp.asarray(rgba2), jnp.asarray(nval2)),
+                    (sharding, sharding),
                 )
+                out2, totals2 = _encode_batch_kernel(
+                    *args2, colch=colch, has_alpha=has_alpha, compat=compat,
+                    out_cap=int(full),
+                )
+                out2 = np.asarray(out2)
+                totals2 = np.asarray(totals2)
+            for j, (i, pix, desc) in enumerate(items):
+                if totals[j] > cap:
+                    jj = over.index(j)
+                    results[i] = (
+                        spec.pack_header(desc)
+                        + out2[jj, : totals2[jj]].tobytes()
+                    )
+                else:
+                    results[i] = (
+                        spec.pack_header(desc) + out[j, : totals[j]].tobytes()
+                    )
         return results
 
 

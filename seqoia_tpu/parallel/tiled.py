@@ -61,7 +61,7 @@ def encode_large(pixels, desc: spec.SqoaDesc, mesh=None) -> bytes | None:
     worst = _pad_to(n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1,
                     4096)
     ladder = [c for c in (
-        _pad_to(n_pad * 5 // 4, 4096), _pad_to(n_pad * 9 // 4, 4096), worst
+        _pad_to(n_pad * 5 // 4, 4096), _pad_to(n_pad * 11 // 4, 4096), worst
     ) if c <= worst] or [worst]
 
     sharded = jax.device_put(
