@@ -147,11 +147,16 @@ def _dec_epilogue(out_ch: int):
             wrows = rows * 3 // 4
             src0, src1 = p0[0:wrows, :], p1[0:wrows, :]
             wl = ktools.iota2((wrows, L), 0) * L + ktools.iota2((wrows, L), 1)
-            m3 = wl % 3
+            # x//3 as (x*21846)>>16 (exact for x < 32768): non-power-of-2
+            # integer division is very slow inside Pallas kernels
+            div3 = lambda x: (x * 21846) >> 16
+            m3 = wl - 3 * div3(wl)
             word = jnp.zeros((wrows, L), jnp.int32)
             for k in range(4):
-                nxt = ((4 * m3 + k) // 3 - (4 * m3) // 3) > 0
-                s8 = 8 * ((m3 + k) % 3)
+                q = 4 * m3 + k
+                nxt = (div3(q) - div3(4 * m3)) > 0
+                s = m3 + k
+                s8 = 8 * (s - 3 * div3(s))
                 byte = (jnp.where(nxt, src1, src0) >> s8) & 255
                 word = word | (byte << (8 * k))
             return word

@@ -70,8 +70,12 @@ def _compat_found(packed, change, hashes):
 
 
 def _flush_byte(pending, k):
-    """k-th byte of the run flush for `pending` pixels (seqoia.h:554-561)."""
-    n_full = jnp.maximum(pending - 1, 0) // 61
+    """k-th byte of the run flush for `pending` pixels (seqoia.h:554-561).
+
+    Division by 61 via multiply-shift (exact for 0..511): integer division
+    by a non-power-of-2 is catastrophically slow inside Pallas kernels,
+    where this also runs (the place_emit epilogue)."""
+    n_full = (jnp.maximum(pending - 1, 0) * 538) >> 15
     rem = pending - 61 * n_full
     return jnp.where(k >= n_full, spec.OP_RUN | (rem - 1), spec.OP_RUN | 60)
 
@@ -193,9 +197,33 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
     Returns ((B, out_cap) uint8 chunk bytes + trailing BIGRUN + end marker,
     (B,) totals)."""
     bsz, n = packed.shape
+    maxrun = spec.QOI_MAXRUN if compat else spec.SQOA_MAXRUN
+
+    if not compat and spread != "xla" and _use_pallas_spread(n, out_cap):
+        # fully-fused path: one kernel from pixels to the compacted
+        # emission stream, one kernel from the stream to the final bytes
+        from ..ops import pallas_encode, pallas_engine
+
+        keys_c, pays_c, totals_c, chunk_totals, last_c = (
+            pallas_encode.encode_front_compact(packed, n_valid, colch=colch)
+        )
+        trail_pending = ((n_valid - 1) - last_c) % maxrun
+        has_trail = (trail_pending > 0) & (n_valid > 0)
+        total = chunk_totals + 8 + has_trail.astype(jnp.int32)
+        scal = jnp.stack(
+            [chunk_totals, has_trail.astype(jnp.int32),
+             jnp.ones_like(chunk_totals)], axis=-1
+        )
+        out = pallas_engine.place_emit(
+            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
+            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            _emit_epilogue(colch),
+            p_out=4096 if out_cap % 4096 == 0 else 2048,
+        )
+        return out, total
+
     idx = jnp.arange(n, dtype=jnp.int32)[None, :]
     valid = idx < n_valid[:, None]
-    maxrun = spec.QOI_MAXRUN if compat else spec.SQOA_MAXRUN
 
     cr, cg = packed & 255, (packed >> 8) & 255
     cb, ca = (packed >> 16) & 255, (packed >> 24) & 255
@@ -456,8 +484,6 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     ends the image (trailing BIGRUN + end marker, seqoia.h:640-646).
     """
     n = packed.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = idx < n_valid
     maxrun = spec.SQOA_MAXRUN
     if init_prev is None:
         init_prev = jnp.int32(_INIT_PACKED)
@@ -465,6 +491,40 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
         run_in = jnp.int32(0)
     if emit_tail is None:
         emit_tail = jnp.int32(1)
+
+    if spread != "xla" and _use_pallas_spread(n, out_cap):
+        # fully-fused path (see encode_stream_batched); the boundary state
+        # rides into the kernel as a virtual change anchor at -(run_in+1)
+        from ..ops import pallas_encode, pallas_engine
+
+        keys_c, pays_c, totals_c, chunk_totals, last_c = (
+            pallas_encode.encode_front_compact(
+                packed[None], jnp.asarray(n_valid, jnp.int32).reshape(1),
+                colch=colch,
+                init_prev=jnp.asarray(init_prev, jnp.int32).reshape(1),
+                lc0=-(jnp.asarray(run_in, jnp.int32).reshape(1) + 1),
+            )
+        )
+        chunk_total = chunk_totals[0]
+        trail_pending = ((n_valid - 1) - last_c[0]) % maxrun
+        has_trail = (trail_pending > 0) & (n_valid > 0) & (emit_tail != 0)
+        total = chunk_total + jnp.where(
+            emit_tail != 0, 8 + has_trail.astype(jnp.int32), 0
+        )
+        scal = jnp.stack(
+            [chunk_total, has_trail.astype(jnp.int32),
+             jnp.asarray(emit_tail, jnp.int32)]
+        )[None, :]
+        out = pallas_engine.place_emit(
+            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
+            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            _emit_epilogue(colch),
+            p_out=4096 if out_cap % 4096 == 0 else 2048,
+        )[0]
+        return out, total
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < n_valid
 
     cr, cg = packed & 255, (packed >> 8) & 255
     cb, ca = (packed >> 16) & 255, (packed >> 24) & 255

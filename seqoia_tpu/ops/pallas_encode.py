@@ -1,0 +1,249 @@
+"""Fused SQOA encode front-end: one Pallas pass from pixels to the
+compacted emission stream.
+
+The XLA front half of the encoder (change detection, run bookkeeping, op
+classification, byte-offset prefix sum — encode_v2.py) runs as separate
+scan/elementwise passes over pixel space, then a second kernel compacts
+the emitting pixels. This kernel streams each 32768-pixel tile through
+VMEM once and does all of it on-chip:
+
+  prev-pixel shift (carry) → change/run segmentation (cummax of change
+  positions + closed-form 61/512 chunking, seqoia.h:544-561) → delta
+  classification (LUMA window / RGB fallback, seqoia.h:593-634) → byte
+  offsets (prefix sum) → butterfly compaction of the emitting pixels →
+  unpadded append to the global (offsets, cur, prev, meta) stream.
+
+Cross-tile state (prev pixel, last change index, byte cursor, append
+cursor + partial row) lives in SMEM/VMEM scratch across the sequential
+grid. Non-compat only (the compat hash-index resolution stays on the XLA
+sort path); colch is static (3 = color, 1 = mono).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import spec
+from . import ktools
+
+_INTERPRET = os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1"
+
+_L = 128
+_ROWS = 256
+_TILE = _ROWS * _L
+_OBUF_ROWS = _ROWS + 8
+
+_INIT_PACKED = int(np.int32(np.uint32(255 << 24)))
+_INT_MIN = -(2**31)
+
+# op classes (3 bits in the meta word) — must match encode_v2
+_CL_LUMA = 0
+_CL_RGB = 1
+_CL_MONO_GA = 2
+_CL_NONE = 7
+
+# carry slots
+_C_PREV, _C_LASTC, _C_OFF, _C_CURSOR = range(4)
+
+
+def _w8(x):
+    return ((x + 128) & 255) - 128
+
+
+def _front_kernel(colch, *refs):
+    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, p2out, scal_ref,
+     ob0, ob1, ob2, ob3, crow, carry, sem) = refs
+    obufs = (ob0, ob1, ob2, ob3)
+
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        # init carries from the per-row boundary state: init_prev is the
+        # pixel preceding this stream; lc0 = -(run_in+1) places a virtual
+        # change anchor so a carried-in run's phase/pending arithmetic
+        # (seg_len = gidx - 1 - anchor) comes out globally correct
+        carry[_C_PREV] = ip_ref[bi]
+        carry[_C_LASTC] = lc0_ref[bi]
+        carry[_C_OFF] = 0
+        carry[_C_CURSOR] = 0
+
+    px = px_ref[0]  # (ROWS, L) int32 packed pixels
+    nv = nv_ref[bi]
+    flat = ktools.iota2((_ROWS, _L), 0) * _L + ktools.iota2((_ROWS, _L), 1)
+    gidx = t * _TILE + flat
+    valid = gidx < nv
+
+    prev = ktools.flat_shift_right(px, 1, 0)
+    prev = jnp.where(flat == 0, carry[_C_PREV], prev)
+
+    same = (px == prev) & valid
+    change = (~same) & valid
+
+    # run segmentation: global cummax of change positions (carry folds in)
+    lc = ktools.lane_row_scan(
+        jnp.where(change, gidx, _INT_MIN), jnp.maximum, _INT_MIN
+    )
+    last_change = jnp.maximum(lc, carry[_C_LASTC])
+    prev_change = ktools.flat_shift_right(last_change, 1, 0)
+    prev_change = jnp.where(flat == 0, carry[_C_LASTC], prev_change)
+
+    seg_len = gidx - 1 - prev_change
+    pending = jnp.where(change, seg_len & (spec.SQOA_MAXRUN - 1), 0)
+    # (pending-1)//61 via multiply-shift (exact for 0..511; integer division
+    # by a non-power-of-2 is slow in-kernel): x//61 == (x*538)>>15
+    flush_n = jnp.where(pending > 0, (((pending - 1) * 538) >> 15) + 1, 0)
+    seg_pos = gidx - last_change
+    bigrun = same & ((seg_pos & (spec.SQOA_MAXRUN - 1)) == 0)
+
+    # delta classification (reference: seqoia.h:593-634)
+    cr, cg = px & 255, (px >> 8) & 255
+    cb, ca = (px >> 16) & 255, (px >> 24) & 255
+    pr, pg = prev & 255, (prev >> 8) & 255
+    pb, pa = (prev >> 16) & 255, (prev >> 24) & 255
+    vg = _w8(cg - pg)
+    va = _w8(ca - pa)
+    if colch == 3:
+        vg_r = _w8(_w8(cr - pr) - vg)
+        vg_b = _w8(_w8(cb - pb) - vg)
+        luma_ok = (
+            (vg_r >= -8) & (vg_r <= 7) & (vg >= -32) & (vg <= 31)
+            & (vg_b >= -8) & (vg_b <= 7) & (va >= -16) & (va <= 15)
+        )
+        cls = jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
+        op_len = jnp.where(luma_ok, 2, 4) + (va != 0).astype(jnp.int32)
+    else:
+        luma_ok = (vg >= -32) & (vg <= 31) & (va >= -16) & (va <= 15)
+        alpha_changed = va != 0
+        cls = jnp.where(
+            alpha_changed, _CL_MONO_GA, jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
+        )
+        op_len = jnp.where(
+            alpha_changed, 3, jnp.where(luma_ok, 1, 2)
+        )
+
+    total_len = jnp.where(change, flush_n + op_len, jnp.where(bigrun, 1, 0))
+    cls = jnp.where(change, cls, _CL_NONE)
+    meta = pending | (flush_n << 9) | (cls << 13)
+
+    tl_incl = ktools.lane_row_scan(total_len, lambda a, c: a + c, 0)
+    offsets = tl_incl - total_len + carry[_C_OFF]
+
+    # --- compact the emitting pixels + append at the exact cursor ----------
+    emit = (total_len > 0).astype(jnp.int32)
+    incl = ktools.lane_row_scan(emit, lambda a, c: a + c, 0)
+    n_here = ktools.extract(incl, _ROWS - 1, _L - 1)
+    d = jnp.where(emit != 0, flat - (incl - emit), -1)
+    d, srcs = ktools.butterfly_compact(d, [offsets, px, prev, meta], 15)
+
+    sh = carry[_C_CURSOR] % _L
+    row = ktools.iota2((_ROWS, _L), 0)
+    lane = ktools.iota2((_ROWS, _L), 1)
+    for i, (s, ob) in enumerate(zip(srcs, obufs)):
+        rolled = ktools.flat_roll_right_dyn(s, sh)
+        merged = jnp.where((row == 0) & (lane < sh), crow[i : i + 1, :], rolled)
+        ob[0:_ROWS, :] = merged
+        ob[_ROWS : _ROWS + 1, :] = rolled[0:1, :]
+
+    cur_row = carry[_C_CURSOR] // _L
+    cps = []
+    for i, (ob, out) in enumerate(zip(obufs, (kout, p0out, p1out, p2out))):
+        cp = pltpu.make_async_copy(
+            ob.at[pl.ds(0, _OBUF_ROWS), :],
+            out.at[bi, pl.ds(cur_row, _OBUF_ROWS), :],
+            sem.at[i],
+        )
+        cp.start()
+        cps.append(cp)
+
+    end = carry[_C_CURSOR] + n_here
+    last_row_local = end // _L - cur_row
+    for i, ob in enumerate(obufs):
+        crow[i : i + 1, :] = ob[pl.ds(last_row_local, 1), :]
+    for cp in cps:
+        cp.wait()
+    carry[_C_CURSOR] = end
+    carry[_C_OFF] = carry[_C_OFF] + ktools.extract(tl_incl, _ROWS - 1, _L - 1)
+
+    # prev-pixel / last-change carries for the next tile
+    last_local = jnp.clip(nv - 1 - t * _TILE, 0, _TILE - 1)
+    newprev = ktools.extract_flat(px, last_local)
+    carry[_C_PREV] = jnp.where(nv - 1 < t * _TILE, carry[_C_PREV], newprev)
+    carry[_C_LASTC] = ktools.extract(last_change, _ROWS - 1, _L - 1)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        row0 = jnp.full((8, _L), 0, jnp.int32)
+        lane8 = ktools.iota2((8, _L), 1)
+        row8 = ktools.iota2((8, _L), 0)
+        v = jnp.where(
+            (row8 == 0) & (lane8 == 0), carry[_C_CURSOR],
+            jnp.where(
+                (row8 == 0) & (lane8 == 1), carry[_C_OFF],
+                jnp.where((row8 == 0) & (lane8 == 2), carry[_C_LASTC], 0),
+            ),
+        )
+        scal_ref[0] = v
+
+
+@functools.partial(jax.jit, static_argnames=("colch",))
+def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
+    """Fused encode front-end + compaction for non-compat streams.
+
+    packed: (B, N) int32 normalized pixels, N % 32768 == 0. The optional
+    per-row boundary state makes each row a SHARD of a larger image:
+    ``init_prev`` is the packed pixel preceding the row (default: the
+    codec's initial state) and ``lc0 = -(run_in+1)`` encodes a carried-in
+    run of run_in pixels as a virtual change anchor (default -1 = none).
+
+    Returns (keys=byte offsets, [cur, prev, meta] compacted streams,
+    entry_totals (B,), chunk_totals (B,), last_change (B,)).
+    """
+    b, n = packed.shape
+    if init_prev is None:
+        init_prev = jnp.full((b,), _INIT_PACKED, jnp.int32)
+    if lc0 is None:
+        lc0 = jnp.full((b,), -1, jnp.int32)
+    t = n // _TILE
+    rows_out = n // _L + _OBUF_ROWS
+    kern = functools.partial(_front_kernel, colch)
+    in_spec = pl.BlockSpec(
+        (1, _ROWS, _L), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scal_spec = pl.BlockSpec(
+        (1, 8, _L), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    shaped = lambda s: jax.ShapeDtypeStruct(s, jnp.int32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, t),
+        in_specs=[in_spec, smem, smem, smem],
+        out_specs=[any_spec] * 4 + [scal_spec],
+        out_shape=[shaped((b, rows_out, _L))] * 4 + [shaped((b, 8, _L))],
+        scratch_shapes=(
+            [pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32)] * 4
+            + [
+                pltpu.VMEM((4, _L), jnp.int32),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ]
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_INTERPRET,
+    )(packed.reshape(b, t * _ROWS, _L), n_valid, init_prev, lc0)
+    keys = outs[0].reshape(b, rows_out * _L)
+    pays = [o.reshape(b, rows_out * _L) for o in outs[1:4]]
+    scal = outs[4]
+    return (
+        keys, pays, scal[:, 0, 0], scal[:, 0, 1], scal[:, 0, 2]
+    )
