@@ -148,10 +148,12 @@ def main():
             desc = sq.SqoaDesc(w, h, ch, 0, 0)
             rgba[j, : w * h] = encode_jax.normalize_pixels_packed(pix, desc)
             nval[j] = w * h
-        # heuristic cap (worst case retried in the BatchEncoder API; the
-        # bench corpus fits 0.75x worst)
-        worst = n_pad * (colch + has_alpha + 1) + spec.PADDING_SIZE + 1
-        cap = -(-(worst * 3 // 4) // 2048) * 2048
+        # adaptive cap: the byte-space placement grid walks out_cap, so an
+        # inflated cap is pure wasted steps. Size from the bucket's actual
+        # stream sizes + 25% slack (steady-state adaptive sizing; the
+        # BatchEncoder API handles cold-start with its offender retry)
+        bucket_max = max(len(streams[i]) for i in idxs)
+        cap = -(-(bucket_max * 5 // 4) // 4096) * 4096
         args = (jnp.asarray(rgba), jnp.asarray(nval))
         fn = functools.partial(
             encode_v2.encode_stream_batched,

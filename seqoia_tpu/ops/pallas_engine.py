@@ -186,14 +186,15 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
                        out_rows, out_dtype, *refs):
     rows = p_out // _L
     lo_ref = refs[0]
-    total_ref = refs[1]
-    scal_ref = refs[2]
-    keys_ref = refs[3]
-    pay_refs = refs[4 : 4 + n_pay]
-    out_ref = refs[4 + n_pay]
-    wbufs = refs[5 + n_pay : 6 + 2 * n_pay]
-    carry = refs[6 + 2 * n_pay]
-    sem = refs[7 + 2 * n_pay]
+    hi_ref = refs[1]
+    total_ref = refs[2]
+    scal_ref = refs[3]
+    keys_ref = refs[4]
+    pay_refs = refs[5 : 5 + n_pay]
+    out_ref = refs[5 + n_pay]
+    wbufs = refs[6 + n_pay : 7 + 2 * n_pay]
+    carry = refs[7 + 2 * n_pay]
+    sem = refs[8 + 2 * n_pay]
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -205,47 +206,61 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
 
     lo = lo_ref[bi, t]
     total = total_ref[bi, 0]
-    lo_row = lo // _L
-    sh = lo % _L
-
-    cps = []
-    for i, src in enumerate([keys_ref] + list(pay_refs)):
-        cp = pltpu.make_async_copy(
-            src.at[bi, pl.ds(lo_row, win_rows), :], wbufs[i], sem.at[i]
-        )
-        cp.start()
-        cps.append(cp)
-    for cp in cps:
-        cp.wait()
-
     base = t * p_out
-    keys = ktools.flat_roll_left_dyn(wbufs[0][...], sh)
-    pays = [ktools.flat_roll_left_dyn(wb[...], sh) for wb in wbufs[1:]]
-
-    j = ktools.iota2((win_rows, _L), 0) * _L + ktools.iota2((win_rows, _L), 1)
-    tau = keys - base
-    ok = (lo + j < total) & (tau >= 0) & (tau < p_out) & (j < win_rows * _L - _L)
-    d = jnp.where(ok, tau - j, -1)
-    d, pays = ktools.butterfly_expand(d, pays, nbits)
-
-    f = (d >= 0).astype(jnp.int32)
-    vals = [jnp.where(f != 0, p, 0) for p in pays]
-    filled, ff = ktools.fill_scan_multi(vals, f)
-    outs = []
-    for i in range(n_pay):
-        out_v = jnp.where(ff != 0, filled[i], carry[i])
-        outs.append(out_v[0:rows, :])
-        carry[i] = ktools.extract(out_v, rows - 1, _L - 1)
-
     scal = [scal_ref[bi, s] for s in range(scal_ref.shape[1])]
-    out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
+
+    # fast path: no entries target this tile — output is the carried fill
+    # value everywhere (sparse byte/pixel space, e.g. long runs or caps
+    # larger than the actual stream)
+    @pl.when(hi_ref[bi, t] == lo)
+    def _():
+        outs = [jnp.full((rows, _L), 0, jnp.int32) + carry[i]
+                for i in range(n_pay)]
+        out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
+
+    @pl.when(hi_ref[bi, t] != lo)
+    def _():
+        lo_row = lo // _L
+        sh = lo % _L
+
+        cps = []
+        for i, src in enumerate([keys_ref] + list(pay_refs)):
+            cp = pltpu.make_async_copy(
+                src.at[bi, pl.ds(lo_row, win_rows), :], wbufs[i], sem.at[i]
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        keys = ktools.flat_roll_left_dyn(wbufs[0][...], sh)
+        pays = [ktools.flat_roll_left_dyn(wb[...], sh) for wb in wbufs[1:]]
+
+        j = ktools.iota2((win_rows, _L), 0) * _L \
+            + ktools.iota2((win_rows, _L), 1)
+        tau = keys - base
+        ok = (lo + j < total) & (tau >= 0) & (tau < p_out) \
+            & (j < win_rows * _L - _L)
+        d = jnp.where(ok, tau - j, -1)
+        d, pays = ktools.butterfly_expand(d, pays, nbits)
+
+        f = (d >= 0).astype(jnp.int32)
+        vals = [jnp.where(f != 0, p, 0) for p in pays]
+        filled, ff = ktools.fill_scan_multi(vals, f)
+        outs = []
+        for i in range(n_pay):
+            out_v = jnp.where(ff != 0, filled[i], carry[i])
+            outs.append(out_v[0:rows, :])
+            carry[i] = ktools.extract(out_v, rows - 1, _L - 1)
+
+        out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
                               "inits", "epilogue", "out_rows", "out_dtype")
 )
-def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
+def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
                      win_rows, nbits, inits, epilogue, out_rows, out_dtype):
     b = keys.shape[0]
     t_out = n_out // p_out
@@ -262,7 +277,7 @@ def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
     out = pl.pallas_call(
         kern,
         grid=(b, t_out),
-        in_specs=[sca, sca, sca, any_spec] + [any_spec] * n_pay,
+        in_specs=[sca, sca, sca, sca, any_spec] + [any_spec] * n_pay,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t_out, out_rows, _L), out_dtype),
         scratch_shapes=(
@@ -275,7 +290,7 @@ def _place_emit_call(lo, totals, scal, keys, pays, n_pay, n_out, p_out,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(
-        lo, totals, scal,
+        lo, hi, totals, scal,
         keys.reshape(b, -1, _L),
         *[p.reshape(b, -1, _L) for p in pays],
     )
@@ -306,13 +321,14 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     masked = jnp.where(
         idx[None, :] < totals[:, None], keys, jnp.int32(2**30)
     )
-    bounds = jnp.arange(t_out, dtype=jnp.int32) * p_out
-    lo = jax.vmap(
+    bounds = jnp.arange(t_out + 1, dtype=jnp.int32) * p_out
+    lo_all = jax.vmap(
         lambda r: jnp.searchsorted(r, bounds, side="left").astype(jnp.int32)
     )(masked)
-    lo = jnp.minimum(lo, mc - win_rows * _L)
+    lo = jnp.minimum(lo_all[:, :-1], mc - win_rows * _L)
+    hi = jnp.minimum(lo_all[:, 1:], mc - win_rows * _L)
     return _place_emit_call(
-        lo, totals[:, None], scalars, masked, tuple(payloads),
+        lo, hi, totals[:, None], scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
         out_rows, out_dtype,
     )
