@@ -2,7 +2,7 @@
 
 from .batch import BatchDecoder, BatchEncoder, corpus_decode, corpus_encode
 from .mesh import batch_sharding, default_mesh
-from .tiled import decode_large, encode_large
+from .tiled import decode_large, encode_large, encode_large_shardmap
 
 __all__ = [
     "BatchDecoder",
@@ -12,5 +12,6 @@ __all__ = [
     "default_mesh",
     "batch_sharding",
     "encode_large",
+    "encode_large_shardmap",
     "decode_large",
 ]

@@ -40,7 +40,6 @@ class Totals:
 def _time_loop(fn, runs, nowarmup):
     """Timed repeats; run 0 is discarded unless --nowarmup
     (reference: sqoabench.c:394-406)."""
-    best_total = 0
     n = runs if nowarmup else runs + 1
     times = []
     for i in range(n):
@@ -53,7 +52,7 @@ def _time_loop(fn, runs, nowarmup):
 
 
 def bench_image(path, runs, opts, tpu_codec=None):
-    from .. import native, spec
+    from .. import native
     from ..io import png as pngio
 
     pixels, w, h, ch = pngio.read_image(path)
@@ -81,8 +80,7 @@ def bench_image(path, runs, opts, tpu_codec=None):
         codecs["png"] = {
             "decode": lambda: pngio.read_image(path),
             "encode": lambda: pngio.write_image(
-                os.devnull + ".png" if False else "/tmp/.bench_out.png",
-                pixels, w, h, ch,
+                "/tmp/.bench_out.png", pixels, w, h, ch,
             ),
             "size": os.path.getsize(path),
         }
