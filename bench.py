@@ -81,7 +81,7 @@ def main():
     for i, ((pix, w, h, ch, _), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
         m_pad = _bucket(len(stream))
-        n_max = _bucket(w * h, 16384)
+        n_max = _bucket(w * h, 32768)
         dec_buckets[(desc.col_channels, desc.norm_channels, m_pad, n_max)].append(i)
         n_pad = _bucket(w * h)
         enc_buckets[(desc.col_channels, desc.has_alpha, n_pad)].append(i)
@@ -153,7 +153,7 @@ def main():
         # stream sizes + 25% slack (steady-state adaptive sizing; the
         # BatchEncoder API handles cold-start with its offender retry)
         bucket_max = max(len(streams[i]) for i in idxs)
-        cap = -(-(bucket_max * 5 // 4) // 16384) * 16384
+        cap = -(-(bucket_max * 5 // 4) // 32768) * 32768
         args = (jnp.asarray(rgba), jnp.asarray(nval))
         fn = functools.partial(
             encode_v2.encode_stream_batched,

@@ -217,7 +217,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
             valid_op, pixoff, [packed]
         )
         init = int(np.int32(np.uint32(255 << 24)))
-        p_out = next(p for p in (16384, 8192, 4096, 2048) if n_max % p == 0)
+        p_out = next(p for p in (32768, 16384, 8192, 4096, 2048) if n_max % p == 0)
         if out_ch in (3, 4):
             # in-kernel emission: packed int32 words bitcast straight to
             # the interleaved uint8 pixels (LE byte order; out_ch=3 drops

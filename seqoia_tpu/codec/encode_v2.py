@@ -218,7 +218,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
             keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
             _emit_epilogue(colch),
-            p_out=next(p for p in (16384, 8192, 4096, 2048) if out_cap % p == 0),
+            p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )
         return out, total
 
@@ -325,13 +325,13 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
                 keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
                 (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
                 _emit_epilogue(colch),
-                p_out=next(p for p in (16384, 8192, 4096, 2048) if out_cap % p == 0),
+                p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
             )
             return out, total
         cur_f, prev_f, meta_f, off_f = pallas_engine.place_fill(
             keys_c, pays_c + [keys_c], totals_c, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
-            p_out=next(p for p in (16384, 8192, 4096, 2048) if out_cap % p == 0),
+            p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )
     else:
         rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]
@@ -519,7 +519,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
             _emit_epilogue(colch),
-            p_out=next(p for p in (16384, 8192, 4096, 2048) if out_cap % p == 0),
+            p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )[0]
         return out, total
 
@@ -606,7 +606,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
             (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
             _emit_epilogue(colch),
-            p_out=next(p for p in (16384, 8192, 4096, 2048) if out_cap % p == 0),
+            p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )[0]
         return out, total
     else:
