@@ -55,7 +55,7 @@ def main():
     from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
     from seqoia_tpu.utils import make_corpus
 
-    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "32.0"))
+    scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "64.0"))
     runs = int(os.environ.get("SEQOIA_BENCH_RUNS", "5"))
     corpus = make_corpus(scale, labels=True)
     total_px = sum(w * h for _, w, h, _, _ in corpus)
@@ -189,6 +189,13 @@ def main():
     encode_mpxs = total_px * runs / t_total_e / 1e6
 
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
+
+    # release the corpus staging before the large-image section (it needs
+    # multi-GB HBM temps of its own at 100 Mpx)
+    del all_dec_args, all_enc_args, dec_plans, enc_plans, args
+    import gc
+
+    gc.collect()
 
     # --- large single image (100 Mpx, BASELINE config 5) --------------------
     large = {}

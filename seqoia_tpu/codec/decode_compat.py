@@ -194,7 +194,8 @@ def decode_stream_compat_batched(data, chunks_len, n_pixels, *, colch,
         n_ops = jnp.sum(valid_op, axis=-1)
         filled = pallas_engine.place_fill(
             keys_p, [px_p], n_ops, n_max, (_INIT_PACKED,),
-            p_out=4096 if n_max % 4096 == 0 else 2048,
+            p_out=next(p for p in (32768, 16384, 8192, 4096, 2048)
+                       if n_max % p == 0),
         )[0]
     else:
         rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]

@@ -204,21 +204,23 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
         for j, ini in enumerate(inits):
             carry[j] = ini
 
-    lo = lo_ref[bi, t]
-    total = total_ref[bi, 0]
+    t_out = pl.num_programs(1)
+    lo = lo_ref[bi * t_out + t]
+    total = total_ref[bi]
     base = t * p_out
-    scal = [scal_ref[bi, s] for s in range(scal_ref.shape[1])]
+    n_scal = scal_ref.shape[0] // total_ref.shape[0]
+    scal = [scal_ref[bi * n_scal + s] for s in range(n_scal)]
 
     # fast path: no entries target this tile — output is the carried fill
     # value everywhere (sparse byte/pixel space, e.g. long runs or caps
     # larger than the actual stream)
-    @pl.when(hi_ref[bi, t] == lo)
+    @pl.when(hi_ref[bi * t_out + t] == lo)
     def _():
         outs = [jnp.full((rows, _L), 0, jnp.int32) + carry[i]
                 for i in range(n_pay)]
         out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
 
-    @pl.when(hi_ref[bi, t] != lo)
+    @pl.when(hi_ref[bi * t_out + t] != lo)
     def _():
         lo_row = lo // _L
         sh = lo % _L
@@ -290,7 +292,7 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(
-        lo, hi, totals, scal,
+        lo.reshape(-1), hi.reshape(-1), totals.reshape(-1), scal.reshape(-1),
         keys.reshape(b, -1, _L),
         *[p.reshape(b, -1, _L) for p in pays],
     )
@@ -328,7 +330,7 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     lo = jnp.minimum(lo_all[:, :-1], mc - win_rows * _L)
     hi = jnp.minimum(lo_all[:, 1:], mc - win_rows * _L)
     return _place_emit_call(
-        lo, hi, totals[:, None], scalars, masked, tuple(payloads),
+        lo, hi, totals, scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
         out_rows, out_dtype,
     )
@@ -352,8 +354,8 @@ def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):
         for j, ini in enumerate(inits):
             carry[j] = ini
 
-    lo = lo_ref[bi, t]
-    total = total_ref[bi, 0]
+    lo = lo_ref[bi * pl.num_programs(1) + t]
+    total = total_ref[bi]
     lo_row = lo // _L
     sh = lo % _L
 
@@ -425,7 +427,7 @@ def _place_fill_call(lo, totals, keys, pays, n_pay, n_out, p_out, win_rows,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(
-        lo, totals,
+        lo.reshape(-1), totals.reshape(-1),
         keys.reshape(b, -1, _L),
         *[p.reshape(b, -1, _L) for p in pays],
     )
@@ -459,6 +461,6 @@ def place_fill(keys, payloads, totals, n_out, inits, p_out=4096):
     # clamp so the fixed-size window DMA stays in bounds
     lo = jnp.minimum(lo, mc - win_rows * _L)
     return _place_fill_call(
-        lo, totals[:, None], masked, tuple(payloads),
+        lo, totals, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits),
     )
