@@ -20,30 +20,33 @@ from .encode_v2 import encode_stream  # gather-free encoder (canonical)
 def normalize_pixels(pixels: np.ndarray, desc: spec.SqoaDesc) -> np.ndarray:
     """Flat interleaved input buffer -> (N, 4) int32 RGBA with the encoder's
     initial-state conventions (mono: gray in g, r=b=0; no alpha: a=255)."""
-    n = desc.n_pixels
-    stride = desc.norm_channels
-    arr = np.asarray(pixels, dtype=np.uint8).reshape(n, stride)
-    out = np.zeros((n, 4), dtype=np.int32)
-    out[:, 3] = 255
-    if desc.col_channels == 3:
-        out[:, 0] = arr[:, 0]
-        out[:, 1] = arr[:, 1]
-        out[:, 2] = arr[:, 2]
-    else:
-        out[:, 1] = arr[:, 0]
-    if desc.has_alpha:
-        out[:, 3] = arr[:, desc.col_channels]
-    return out
+    return (
+        normalize_pixels_packed(pixels, desc)
+        .view(np.uint8)
+        .reshape(desc.n_pixels, 4)
+        .astype(np.int32)
+    )
 
 
 def normalize_pixels_packed(pixels, desc: spec.SqoaDesc) -> np.ndarray:
     """Flat interleaved input -> (N,) int32 packed r|g<<8|b<<16|a<<24 with
-    the encoder's initial-state conventions (4 bytes/pixel on the wire)."""
-    rgba = normalize_pixels(pixels, desc).astype(np.uint32)
-    return (
-        rgba[:, 0] | (rgba[:, 1] << 8) | (rgba[:, 2] << 16)
-        | (rgba[:, 3] << 24)
-    ).view(np.int32)
+    the encoder's initial-state conventions (4 bytes/pixel on the wire).
+
+    Implemented as byte-lane fills into a (N, 4) uint8 buffer viewed as
+    little-endian u32 — two passes over memory instead of the naive
+    int32-column formulation (which cost ~20 s at 100 Mpx)."""
+    n = desc.n_pixels
+    stride = desc.norm_channels
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(n, stride)
+    out = np.empty((n, 4), dtype=np.uint8)
+    if desc.col_channels == 3:
+        out[:, :3] = arr[:, :3]
+    else:
+        out[:, 0] = 0
+        out[:, 1] = arr[:, 0]
+        out[:, 2] = 0
+    out[:, 3] = arr[:, desc.col_channels] if desc.has_alpha else 255
+    return out.reshape(-1).view("<u4").view(np.int32)
 
 
 def encode(pixels, desc: spec.SqoaDesc) -> bytes | None:
