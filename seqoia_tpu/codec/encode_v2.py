@@ -46,13 +46,39 @@ def _wrap8(x):
     return ((x + 128) & 255) - 128
 
 
-def _compat_found(packed, change, hashes):
-    """Index-table hit per change pixel via two bitonic sorts (no gathers).
+def _use_slot_kernel(n: int) -> bool:
+    import os
+
+    if n % 32768 != 0:
+        return False
+    if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
+        return True
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return backend != "cpu"
+
+
+def _compat_found(packed, change, hashes, n_valid=None):
+    """Index-table hit per change pixel (insert-on-every-miss,
+    seqoia.h:563-582; zeroed init table, seqoia.h:518).
 
     Slot content before pixel i is the color of the most recent change pixel
-    j<i with the same hash (insert-on-every-miss, seqoia.h:563-582), zero if
-    none (zeroed init table, seqoia.h:518)."""
+    j<i with the same hash. At tile-aligned sizes this is one pass of the
+    slot last-writer kernel (ops/pallas_slots.py); smaller arrays use two
+    bitonic sorts (sort by (hash,pos), neighbor shift, sort back — XLA's
+    TPU sort does not scale past ~1 Mpx, NOTES_ROUND2.md, so multi-Mpx
+    compat encodes depend on the kernel path)."""
     bsz, n = packed.shape
+    if _use_slot_kernel(n):
+        from ..ops import pallas_slots
+
+        wr = jnp.where(change, hashes, -1)
+        resolved = pallas_slots.slot_last_writer(
+            wr, packed, wr, init=0, n_live=n_valid
+        )
+        return change & (resolved == packed)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bsz, n))
     keys = jnp.where(change, hashes, jnp.int32(spec.QOI_INDEX_SIZE))
     sk, si, sp = jax.lax.sort((keys, idx, packed), num_keys=2)
@@ -265,7 +291,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
 
     if compat:
         hashes = (cr * 3 + cg * 5 + cb * 7 + ca * 11) % spec.QOI_INDEX_SIZE
-        found = _compat_found(packed, change, hashes)
+        found = _compat_found(packed, change, hashes, n_valid)
         diff_ok = (
             (vr >= -2) & (vr <= 1) & (vg >= -2) & (vg <= 1)
             & (vb >= -2) & (vb <= 1)

@@ -69,6 +69,10 @@ def _load() -> ctypes.CDLL:
             u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int, u8p,
             ctypes.c_int64, i64p,
         ]
+        lib.sqn_scan_chunks.restype = ctypes.c_int64
+        lib.sqn_scan_chunks.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, i64p,
+        ]
         _lib = lib
         return lib
 
@@ -140,3 +144,21 @@ def decode(data: bytes, channels: int = 0):
     if n < 0:
         return None, None
     return out, tuple(int(x) for x in desc)
+
+
+def scan_chunks(data: bytes, n_chunks: int):
+    """Op-aligned shard boundaries for a non-compat stream (token hop, no
+    value decoding). Returns an (n_chunks, 4) int64 array of {byte_pos,
+    px_start, first color-anchor pixel (abs, -1 if none), first alpha-anchor
+    pixel (abs, -1 if none)} per chunk, or None for streams the hop rejects
+    (compat, REF ops, malformed)."""
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros((n_chunks, 4), dtype=np.int64)
+    rc = lib.sqn_scan_chunks(
+        _u8ptr(buf), len(data), n_chunks,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -452,3 +452,91 @@ int64_t sqn_decode_batch(const uint8_t *data, const int64_t *offsets,
     }
     return ok;
 }
+
+/* ---- shard-boundary token scan ------------------------------------------ */
+
+/* Partition a NON-compat stream's pixel space into n_chunks ~equal ranges
+ * aligned to op starts, for the sharded large-image decoder
+ * (parallel/tiled.py::decode_large_shardmap). Pure token hop: op lengths and
+ * pixel counts only — no value decoding, no index table — so it runs at
+ * memory speed (one tag-byte read per op), unlike a full sequential decode.
+ *
+ * The hop's cursor always rests at op starts with any trailing ALPHA
+ * modifier already consumed (the decoder's one-byte peek, seqoia.h:777-783),
+ * so every recorded boundary is a clean decoder entry point: a shard decoded
+ * from it as a fresh stream differs from the global decode only by the
+ * carried pixel value — an additive per-channel delta the caller fixes up on
+ * the pixels before the shard's first absolute anchor.
+ *
+ * out must hold n_chunks*4 int64: per chunk {byte_pos, px_start,
+ * first RGB/RGBA-anchor pixel (abs, -1 if none), first RGBA-anchor pixel
+ * (abs, -1 if none)}. Returns 0, or -1 on malformed/compat/REF streams
+ * (callers fall back to the sequential path; the reference encoder never
+ * emits REF, seqoia.h §SURVEY 2.1.9). */
+int64_t sqn_scan_chunks(const uint8_t *data, int64_t size, int n_chunks,
+                        int64_t *out) {
+    if (!data || !out || n_chunks < 1 || size < HDR_SIZE + PAD_SIZE + 1)
+        return -1;
+    uint32_t magic = get_be32(data);
+    uint32_t width = get_be32(data + 4);
+    uint32_t height = get_be32(data + 8);
+    int hdr_channels = data[12];
+    if (width == 0 || height == 0) return -1;
+    if (hdr_channels < 1 || hdr_channels > 6) return -1;
+    if (magic != MAGIC_SQOA || data[14] != START_BYTE_) return -1;
+    if (height >= PIXELS_MAX_ / width) return -1;
+    int colch = hdr_channels < 3 ? 1 : 3;
+
+    int64_t p = HDR_SIZE + 1;
+    int64_t chunks_len = size - PAD_SIZE;
+    int64_t npx = (int64_t)width * height;
+    int64_t per = (npx + n_chunks - 1) / n_chunks;
+    int64_t pixel = 0;
+    int c = 0;
+
+    while (pixel < npx && p < chunks_len) {
+        while (c < n_chunks && pixel >= (int64_t)c * per) {
+            out[c * 4 + 0] = p;
+            out[c * 4 + 1] = pixel;
+            out[c * 4 + 2] = -1;
+            out[c * 4 + 3] = -1;
+            c++;
+        }
+        int b1 = data[p];
+        int64_t adv, npx_op;
+        int anch_r = 0, anch_a = 0;
+        if (b1 < TAG_REF_LIMIT) return -1; /* REF (or stray modifier) */
+        if (b1 == TAG_RGB) {
+            adv = colch == 3 ? 4 : 2; npx_op = 1; anch_r = 1;
+        } else if (b1 == TAG_RGBA) {
+            adv = colch == 3 ? 5 : 3; npx_op = 1; anch_r = 1; anch_a = 1;
+        } else if (b1 == TAG_BIGRUN) {
+            adv = 1; npx_op = SQOA_MAXRUN_;
+        } else if (b1 >= MASK2) { /* 11xxxxxx run */
+            adv = 1; npx_op = (b1 & 0x3f) + 1;
+        } else if ((b1 & MASK2) == TAG_LUMA) {
+            adv = colch == 3 ? 2 : 1; npx_op = 1;
+        } else {
+            return -1; /* alpha-range byte at an op position: corrupt */
+        }
+        p += adv;
+        if (colch == 3 && p < size &&
+            data[p] >= TAG_ALPHA && data[p] < TAG_LUMA)
+            p++; /* trailing alpha modifier */
+        if (c > 0) {
+            if (anch_r && out[(c - 1) * 4 + 2] < 0)
+                out[(c - 1) * 4 + 2] = pixel;
+            if (anch_a && out[(c - 1) * 4 + 3] < 0)
+                out[(c - 1) * 4 + 3] = pixel;
+        }
+        pixel += npx_op;
+    }
+    while (c < n_chunks) { /* stream exhausted: run-fill shards */
+        out[c * 4 + 0] = chunks_len;
+        out[c * 4 + 1] = (int64_t)c * per < npx ? (int64_t)c * per : npx;
+        out[c * 4 + 2] = -1;
+        out[c * 4 + 3] = -1;
+        c++;
+    }
+    return 0;
+}

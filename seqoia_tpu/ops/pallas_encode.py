@@ -76,8 +76,35 @@ def _front_kernel(colch, *refs):
         carry[_C_OFF] = 0
         carry[_C_CURSOR] = 0
 
-    px = px_ref[0]  # (ROWS, L) int32 packed pixels
     nv = nv_ref[bi]
+
+    # tiles wholly past the image emit nothing: skip them (images pad their
+    # pixel buffers to the 32768 tile; the padding otherwise costs full
+    # front-end work on small images)
+    @pl.when(t * _TILE < nv)
+    def _():
+        _front_tile_body(colch, refs, bi, t, nv)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        lane8 = ktools.iota2((8, _L), 1)
+        row8 = ktools.iota2((8, _L), 0)
+        v = jnp.where(
+            (row8 == 0) & (lane8 == 0), carry[_C_CURSOR],
+            jnp.where(
+                (row8 == 0) & (lane8 == 1), carry[_C_OFF],
+                jnp.where((row8 == 0) & (lane8 == 2), carry[_C_LASTC], 0),
+            ),
+        )
+        scal_ref[0] = v
+
+
+def _front_tile_body(colch, refs, bi, t, nv):
+    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, p2out, scal_ref,
+     ob0, ob1, ob2, ob3, crow, carry, sem) = refs
+    obufs = (ob0, ob1, ob2, ob3)
+
+    px = px_ref[0]  # (ROWS, L) int32 packed pixels
     flat = ktools.iota2((_ROWS, _L), 0) * _L + ktools.iota2((_ROWS, _L), 1)
     gidx = t * _TILE + flat
     valid = gidx < nv
@@ -121,7 +148,10 @@ def _front_kernel(colch, *refs):
         cls = jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
         op_len = jnp.where(luma_ok, 2, 4) + (va != 0).astype(jnp.int32)
     else:
-        luma_ok = (vg >= -32) & (vg <= 31) & (va >= -16) & (va <= 15)
+        # mono keeps r=b=0, so the reference's shared LUMA guard
+        # (seqoia.h:606-611) evaluates vg_r = vg_b = -vg: the effective
+        # mono window is vg in [-7, 8], NOT the full +-32 vg range
+        luma_ok = (vg >= -7) & (vg <= 8) & (va >= -16) & (va <= 15)
         alpha_changed = va != 0
         cls = jnp.where(
             alpha_changed, _CL_MONO_GA, jnp.where(luma_ok, _CL_LUMA, _CL_RGB)
@@ -178,20 +208,6 @@ def _front_kernel(colch, *refs):
     newprev = ktools.extract_flat(px, last_local)
     carry[_C_PREV] = jnp.where(nv - 1 < t * _TILE, carry[_C_PREV], newprev)
     carry[_C_LASTC] = ktools.extract(last_change, _ROWS - 1, _L - 1)
-
-    @pl.when(t == pl.num_programs(1) - 1)
-    def _():
-        row0 = jnp.full((8, _L), 0, jnp.int32)
-        lane8 = ktools.iota2((8, _L), 1)
-        row8 = ktools.iota2((8, _L), 0)
-        v = jnp.where(
-            (row8 == 0) & (lane8 == 0), carry[_C_CURSOR],
-            jnp.where(
-                (row8 == 0) & (lane8 == 1), carry[_C_OFF],
-                jnp.where((row8 == 0) & (lane8 == 2), carry[_C_LASTC], 0),
-            ),
-        )
-        scal_ref[0] = v
 
 
 @functools.partial(jax.jit, static_argnames=("colch",))

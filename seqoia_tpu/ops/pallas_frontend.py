@@ -10,8 +10,15 @@ computes everything on-chip:
   channel elements → segmented modular channel sums → packed RGBA + token
   validity,
 
-with eight scalar carries in SMEM threading the cross-tile state. Shifted
+with scalar carries in SMEM threading the cross-tile state. Shifted
 operand views come from a one-row halo so every shift stays on-chip.
+
+``decode_front_compact`` additionally runs the butterfly compaction
+*inside the kernel* (mirroring pallas_encode's fused encode front) and
+appends the surviving ops to a dense output stream at an exact cursor —
+the round-2 pipeline's (valid, pixoff, packed) HBM round trip and its
+separate compact dispatch disappear. The byte stream is ingested as uint8
+directly (in-kernel convert) instead of staging a 4x int32 copy in HBM.
 
 Covers the hot mode (color, non-compat); other modes use the unfused path.
 """
@@ -32,17 +39,20 @@ import os
 _INTERPRET = os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1"
 
 from .. import spec
+from . import ktools
 
 _L = 128
 _R = 256                 # output rows per tile
 _RH = _R + 1             # +1 halo row for shifted operand views
 _TILE = _R * _L
+_OBUF_ROWS = _R + 8      # compact staging: full tile + wrap row, DMA aligned
 
 _IDENT_MAP = 0 | (1 << 3) | (2 << 6) | (3 << 9) | (4 << 12)
 _INT_MIN = -(2**31)
 
 # carry slots
-_C_MAP, _C_ACNT, _C_BRK, _C_SEEN, _C_NPIX, _C_RG, _C_BA, _C_REF = range(8)
+(_C_MAP, _C_ACNT, _C_BRK, _C_SEEN, _C_NPIX, _C_RG, _C_BA, _C_REF,
+ _C_CUR) = range(9)
 
 
 def _extract(x, r, l):
@@ -115,40 +125,20 @@ def _seg_combine(l, r):
     return ch0 | ch1 | (l & _F2) | (r & _F2)
 
 
-def _frontend_kernel(n_max, no_alpha, *refs):
-    (data_ref, clen_ref, valid_ref, pixoff_ref, packed_ref, ref_ref,
-     dbuf, carry, sem) = refs
+def _front_body(n_max, no_alpha, b, pos, clen, carry):
+    """Shared front-end compute over one byte tile.
 
-    bi = pl.program_id(0)
-    t = pl.program_id(1)
+    b: (RH, L) int32 byte values (halo row included); pos: global byte
+    positions; carry: SMEM scalar carries (updated in place). Returns
+    (valid, pixoff, packed) over the full (RH, L) tile — callers slice
+    the real _R rows."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
 
-    @pl.when(t == 0)
-    def _():
-        carry[_C_MAP] = _IDENT_MAP
-        carry[_C_ACNT] = 0
-        carry[_C_BRK] = 0
-        carry[_C_SEEN] = 0
-        carry[_C_NPIX] = 0
-        carry[_C_RG] = 0
-        carry[_C_BA] = 0
-        carry[_C_REF] = 0
-
-    cp = pltpu.make_async_copy(
-        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf, sem
-    )
-    cp.start()
-    cp.wait()
-
-    b = dbuf[0:_RH, :]  # (RH, L) int32, includes one halo row
     b1 = _shift_flat_left(b, 1)
     b2 = _shift_flat_left(b, 2)
     b3 = _shift_flat_left(b, 3)
     b4 = _shift_flat_left(b, 4)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
-    pos = (t * _R + row) * _L + lane
-    clen = clen_ref[bi]
 
     is_luma = (b & spec.MASK_2) == spec.OP_LUMA
     is_rgb = b == spec.OP_RGB
@@ -298,62 +288,148 @@ def _frontend_kernel(n_max, no_alpha, *refs):
     packed = r_v | (g_v << 8) | (b_v << 16) | (a_v << 24)
 
     valid = is_op & (npix > 0) & (pixoff < n_max)
+    return valid, pixoff, packed
 
-    valid_ref[0, 0] = valid[0:_R].astype(jnp.int32)
-    pixoff_ref[0, 0] = pixoff[0:_R]
-    packed_ref[0, 0] = packed[0:_R]
+
+def _load_tile(data_ref, dbuf, sem, bi, t):
+    """DMA the tile's uint8 rows (+halo) and convert on-chip."""
+    cp = pltpu.make_async_copy(
+        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf, sem
+    )
+    cp.start()
+    cp.wait()
+    return dbuf[0:_RH, :].astype(jnp.int32)
+
+
+def _front_compact_kernel(n_max, no_alpha, *refs):
+    (data_ref, clen_ref, kout, pout, scal_ref,
+     dbuf, ob0, ob1, crow, carry, sem, osem) = refs
+    obufs = (ob0, ob1)
+
+    bi = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry[_C_MAP] = _IDENT_MAP
+        carry[_C_ACNT] = 0
+        carry[_C_BRK] = 0
+        carry[_C_SEEN] = 0
+        carry[_C_NPIX] = 0
+        carry[_C_RG] = 0
+        carry[_C_BA] = 0
+        carry[_C_REF] = 0
+        carry[_C_CUR] = 0
+
+    clen = clen_ref[bi]
+
+    # tiles wholly past the stream carry no tokens: skip the DMA + compute
+    # entirely (small images pad their byte buffers to the 32768 tile —
+    # without the skip the padding dominates icon-class buckets)
+    @pl.when(t * _TILE < clen)
+    def _():
+        b = _load_tile(data_ref, dbuf, sem, bi, t)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
+        pos = (t * _R + row_h) * _L + lane_h
+
+        valid, pixoff, packed = _front_body(
+            n_max, no_alpha, b, pos, clen, carry
+        )
+
+        # --- in-kernel compaction + append (mirrors pallas_encode) ----------
+        v = valid[0:_R].astype(jnp.int32)
+        keys = pixoff[0:_R]
+        pays = packed[0:_R]
+        incl = ktools.lane_row_scan(v, lambda a, c: a + c, 0)
+        n_here = ktools.extract(incl, _R - 1, _L - 1)
+        flat = ktools.iota2((_R, _L), 0) * _L + ktools.iota2((_R, _L), 1)
+        d = jnp.where(v != 0, flat - (incl - v), -1)
+        d, srcs = ktools.butterfly_compact(d, [keys, pays], 15)
+
+        sh = carry[_C_CUR] % _L
+        row = ktools.iota2((_R, _L), 0)
+        lane = ktools.iota2((_R, _L), 1)
+        for i, (s, ob) in enumerate(zip(srcs, obufs)):
+            rolled = ktools.flat_roll_right_dyn(s, sh)
+            merged = jnp.where((row == 0) & (lane < sh), crow[i : i + 1, :],
+                               rolled)
+            ob[0:_R, :] = merged
+            ob[_R : _R + 1, :] = rolled[0:1, :]  # wrap row
+
+        cur_row = carry[_C_CUR] // _L
+        cps = []
+        for i, (ob, out) in enumerate(zip(obufs, (kout, pout))):
+            cp = pltpu.make_async_copy(
+                ob.at[pl.ds(0, _OBUF_ROWS), :],
+                out.at[bi, pl.ds(cur_row, _OBUF_ROWS), :],
+                osem.at[i],
+            )
+            cp.start()
+            cps.append(cp)
+
+        end = carry[_C_CUR] + n_here
+        last_row_local = end // _L - cur_row
+        for i, ob in enumerate(obufs):
+            crow[i : i + 1, :] = ob[pl.ds(last_row_local, 1), :]
+        for cp in cps:
+            cp.wait()
+        carry[_C_CUR] = end
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        ref_ref[0] = jnp.full((8, _L), carry[_C_REF], jnp.int32)
+        lane8 = ktools.iota2((8, _L), 1)
+        row8 = ktools.iota2((8, _L), 0)
+        scal_ref[0] = jnp.where(
+            (row8 == 0) & (lane8 == 0), carry[_C_CUR],
+            jnp.where((row8 == 0) & (lane8 == 1), carry[_C_REF], 0),
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("n_max", "no_alpha"))
-def decode_frontend(data, chunks_len, n_max, no_alpha=False):
-    """Fused front-end for color non-compat streams.
+def decode_front_compact(data, chunks_len, n_max, no_alpha=False):
+    """Front-end fused with op-stream compaction (color non-compat).
 
-    data: (B, M) uint8, M % 32768 == 0 (padding bytes are zeros — parsed as
-    dead tokens past chunks_len). Returns (valid, pixoff, packed) int32
-    (B, M) arrays plus a fallback flag (B,) int32 (REF tokens; with
-    ``no_alpha``, also any alpha-range token — see the kernel comment).
-    """
+    data: (B, M) uint8, M % 32768 == 0. Returns (keys (B, M+slack) int32 =
+    compacted pixel offsets, [packed] compacted payload list, totals (B,),
+    has_ref (B,)) — drop-in for pallas_engine.compact(frontend(...))."""
     b, m = data.shape
     t = m // _TILE
-    # int32 + halo rows for the shifted views and over-slack DMA
-    d32 = data.astype(jnp.int32).reshape(b, m // _L, _L)
-    d32 = jnp.pad(d32, ((0, 0), (0, _RH + 7), (0, 0)))
+    rows_out = m // _L + _OBUF_ROWS
+    d8 = data.reshape(b, m // _L, _L)
+    d8 = jnp.pad(d8, ((0, 0), (0, _RH + 7), (0, 0)))
 
-    kern = functools.partial(_frontend_kernel, n_max, no_alpha)
+    kern = functools.partial(_front_compact_kernel, n_max, no_alpha)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec(
-        (1, 1, _R, _L), lambda bi, ti: (bi, ti, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    ref_spec = pl.BlockSpec(
+    scal_spec = pl.BlockSpec(
         (1, 8, _L), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM
     )
     shaped = lambda s: jax.ShapeDtypeStruct(s, jnp.int32)
-    valid, pixoff, packed, has_ref = pl.pallas_call(
+    kout, pout, scal = pl.pallas_call(
         kern,
         grid=(b, t),
         in_specs=[any_spec, smem_spec],
-        out_specs=[out_spec, out_spec, out_spec, ref_spec],
+        out_specs=[any_spec, any_spec, scal_spec],
         out_shape=[
-            shaped((b, t, _R, _L)), shaped((b, t, _R, _L)),
-            shaped((b, t, _R, _L)), shaped((b, 8, _L)),
+            shaped((b, rows_out, _L)), shaped((b, rows_out, _L)),
+            shaped((b, 8, _L)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_RH + 7, _L), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.VMEM((_RH + 7, _L), jnp.uint8),
+            pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
+            pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
+            pltpu.VMEM((2, _L), jnp.int32),
+            pltpu.SMEM((9,), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
-    )(d32, chunks_len)
+    )(d8, chunks_len)
     return (
-        valid.reshape(b, m) != 0,
-        pixoff.reshape(b, m),
-        packed.reshape(b, m),
-        has_ref[:, 0, 0],
+        kout.reshape(b, rows_out * _L),
+        [pout.reshape(b, rows_out * _L)],
+        scal[:, 0, 0],
+        scal[:, 0, 1],
     )

@@ -152,7 +152,12 @@ class BatchDecoder:
                 *args, colch=colch, compat=compat, out_ch=out_ch,
                 n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
             )
-            out = np.asarray(out)
+            from ..utils import transfer
+
+            cols = out.shape[1]
+            out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
+                b_pad, cols
+            )
             if out.dtype == np.int32:  # emit="words": free host-side view
                 out = out.view(np.uint8)
             need_fb = np.asarray(need_fb)
@@ -210,7 +215,17 @@ def _encode_batch_kernel(rgba, n_valid, *, colch, has_alpha, compat, out_cap):
 
 
 class BatchEncoder:
-    """Encode many images on the mesh; returns per-image byte strings."""
+    """Encode many images on the mesh; returns per-image byte strings.
+
+    Output caps are adaptive (the byte-space placement kernel walks the
+    whole cap, so a worst-case cap is pure wasted grid steps): each mode
+    class keeps a running estimate of observed bytes/px and sizes the next
+    launch from it; overflowing images re-run once at the *exact* cap their
+    (always exact) totals revealed."""
+
+    #: bytes/px estimate per (colch, has_alpha, compat); class-wide so the
+    #: estimate warms up across encoder instances
+    _rate_est: dict = {}
 
     def __init__(self, mesh=None):
         self.mesh = mesh if mesh is not None else default_mesh()
@@ -228,11 +243,11 @@ class BatchEncoder:
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
         for (colch, has_alpha, compat, n_pad), items in groups.items():
-            if compat and n_pad > 1 << 20:
-                # QOI-compat hash-index resolution uses a bitonic sort over
-                # pixel space; XLA's TPU sort does not scale to multi-Mpx
-                # arrays on this backend (NOTES_ROUND2.md). Host runtime
-                # handles large compat encodes, batch-parallel.
+            if compat and n_pad > 1 << 23:
+                # Very large compat encodes stay on the host pool: the TPU
+                # path (slot last-writer hash resolution, encode_v2.py)
+                # is byte-exact at any tile-aligned size, but beyond ~8 Mpx
+                # per image the host cores win on aggregate throughput.
                 from concurrent.futures import ThreadPoolExecutor
 
                 from .. import native
@@ -263,22 +278,40 @@ class BatchEncoder:
             args = jax.device_put(
                 (jnp.asarray(rgba), jnp.asarray(nval)), (sharding, sharding)
             )
-            # Heuristic output cap (typical rates are well under 1 B/px;
-            # worst case is norm_ch+1). Overflow retry re-runs only the
-            # offending images at the worst-case cap: the kernels clip
-            # writes at out_cap, and totals reveal which images overflowed.
+            # Adaptive output cap from the mode class's observed bytes/px
+            # (cold start: 75% of worst case). Overflow retry re-runs only
+            # the offending images at the exact cap their totals revealed:
+            # the kernels clip writes at out_cap but totals stay exact.
             worst = n_pad * (norm_ch + 1) + spec.PADDING_SIZE + 1
-            cap = min(-(-(worst * 3 // 4) // 2048) * 2048,
-                      -(-worst // 2048) * 2048)
+            est = BatchEncoder._rate_est.get((colch, has_alpha, compat))
+            if est is None:
+                cap = worst * 3 // 4
+            else:
+                cap = int(n_pad * est * 1.25) + spec.PADDING_SIZE + 1
+            cap = min(spec.cap_bucket(cap), spec.cap_bucket(worst))
             out, totals = _encode_batch_kernel(
                 *args, colch=colch, has_alpha=has_alpha, compat=compat,
                 out_cap=int(cap),
             )
+            from ..utils import transfer
+
             totals = np.asarray(totals)
-            out = np.asarray(out)
+            # trim the fetch to the longest actual stream in the bucket
+            # (the cap buffer is mostly slack) and fetch it threaded
+            # cap_bucket keeps `used` values few (the slice is trace-static)
+            used = min(int(cap), spec.cap_bucket(int(totals[:b].max())))
+            out = transfer.fetch_flat(
+                out[:, :used].reshape(-1)
+            ).reshape(b_pad, used)
+            seen = BatchEncoder._rate_est.get((colch, has_alpha, compat))
+            peak = float(totals[:b].max()) / n_pad if b else 0.0
+            BatchEncoder._rate_est[(colch, has_alpha, compat)] = (
+                peak if seen is None else 0.5 * seen + 0.5 * peak
+            )
             over = [j for j in range(b) if totals[j] > cap]
             if over:
-                full = -(-worst // 2048) * 2048
+                full = min(spec.cap_bucket(int(totals[over].max())),
+                           spec.cap_bucket(worst))
                 b2 = -(-len(over) // n_dev) * n_dev
                 rgba2 = np.zeros((b2, n_pad), np.int32)
                 nval2 = np.zeros((b2,), np.int32)

@@ -193,3 +193,14 @@ def worst_case_size(desc: SqoaDesc) -> int:
         + PADDING_SIZE
         + 1
     )
+
+
+def cap_bucket(x: int) -> int:
+    """Round a byte cap up to the next {1, 1.25, 1.5, 1.75}*2^k multiple of
+    2048. Adaptive output caps stay within ~25% of their target while the
+    number of distinct cap values — each a separate jit specialization of
+    the encode kernels — stays bounded."""
+    x = max(int(x), 2048)
+    k = max((x - 1).bit_length() - 2, 11)
+    step = 1 << k
+    return -(-x // step) * step

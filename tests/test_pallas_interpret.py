@@ -67,6 +67,20 @@ eo2, et2 = encode_v2.encode_stream_batched(
 assert bytes(np.asarray(eo2[0])[: int(et2[0])]) == stream2[15:], \
     "interpret alternating-run encode mismatch"
 
+# mono encode through the fused front: deltas outside the narrow mono LUMA
+# window vg in [-7, 8] (the reference's shared guard sees vg_r = -vg for
+# mono, seqoia.h:606-611 — regression for the +-32 misclassification)
+pixm = ((128 + np.cumsum(rng.integers(-20, 21, (w * h, 1)), 0)) % 256).astype(np.uint8)
+streamm = native.encode(pixm.ravel(), w, h, 1, 0, 0)
+capm = -(-(len(streamm) * 5 // 4) // 2048) * 2048
+eom, etm = encode_v2.encode_stream_batched(
+    jnp.asarray(encode_jax.normalize_pixels_packed(pixm.ravel(), sq.SqoaDesc(w, h, 1, 0, 0)))[None],
+    jnp.asarray([w * h], jnp.int32),
+    colch=1, has_alpha=False, compat=False, out_cap=int(capm),
+)
+assert bytes(np.asarray(eom[0])[: int(etm[0])]) == streamm[15:], \
+    "interpret mono encode mismatch"
+
 # QOI-compat fixpoint decode (slot last-writer kernel + index resolution)
 from seqoia_tpu.codec import decode_compat
 pal = rng.integers(0, 256, (5, 4), dtype=np.uint8)
