@@ -41,6 +41,7 @@ path in decode_jax.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,13 @@ from .. import spec
 from ..ops import scan_ops
 from . import decode_v2
 
-_MAX_ITERS = 12
+# Iteration cap before flagging non-convergence. INDEX-dependency chains
+# advance ~one link per iteration; measured on the qoi-bench-like corpus
+# (NOTES_ROUND3.md), INDEX-light content converges in <= 3 iterations and
+# palette-heavy icon content either converges early or runs to hundreds of
+# links — iterating past ~12 buys nothing, the host fallback wins.
+# Overridable for tuning experiments.
+_MAX_ITERS = int(os.environ.get("SEQOIA_FIXPOINT_ITERS", "12"))
 _INIT_PACKED = int(np.int32(np.uint32(255 << 24)))
 
 

@@ -120,3 +120,17 @@ def test_batch_decode_ref_fallback():
     oracle1, _ = native.decode(ref_stream, 0)
     assert np.array_equal(results[0].pixels, oracle0)
     assert np.array_equal(results[1].pixels, oracle1)
+
+
+def test_fetch_flat_chunked_tail():
+    """Chunked device->host fetch: exact bytes incl. the clamped final
+    chunk (utils/transfer.py relies on dynamic_slice start clamping)."""
+    import jax.numpy as jnp
+
+    from seqoia_tpu.utils import transfer
+
+    x = np.arange(10_000_000, dtype=np.int32)
+    dx = jnp.asarray(x) * 2
+    for n in (10_000_000, 9_999_999, 5_000_001, 4_194_304, 100):
+        got = transfer.fetch_flat(dx, n, chunk_elems=1 << 22, threads=4)
+        assert np.array_equal(got, x[:n] * 2), n

@@ -67,6 +67,15 @@ eo2, et2 = encode_v2.encode_stream_batched(
 assert bytes(np.asarray(eo2[0])[: int(et2[0])]) == stream2[15:], \
     "interpret alternating-run encode mismatch"
 
+# device-side pixel packing (raw stride-1/2/3 bytes -> packed pixels)
+from seqoia_tpu.ops import pallas_pack
+for ch in (1, 2, 3):
+    dsc = sq.SqoaDesc(w, h, ch, 0, 0)
+    raw = rng.integers(0, 256, w * h * dsc.norm_channels, dtype=np.uint8)
+    wantp = encode_jax.normalize_pixels_packed(raw, dsc)
+    gotp = np.asarray(pallas_pack.normalize_pixels_device(raw, dsc))[: w * h]
+    assert np.array_equal(gotp, wantp), f"pack stride {ch} mismatch"
+
 # mono encode through the fused front: deltas outside the narrow mono LUMA
 # window vg in [-7, 8] (the reference's shared guard sees vg_r = -vg for
 # mono, seqoia.h:606-611 — regression for the +-32 misclassification)
