@@ -2,7 +2,8 @@
 
 from .batch import BatchDecoder, BatchEncoder, corpus_decode, corpus_encode
 from .mesh import batch_sharding, default_mesh
-from .tiled import decode_large, encode_large, encode_large_shardmap
+from .tiled import (decode_large, decode_large_shardmap,
+                    encode_large, encode_large_shardmap)
 
 __all__ = [
     "BatchDecoder",
@@ -14,4 +15,5 @@ __all__ = [
     "encode_large",
     "encode_large_shardmap",
     "decode_large",
+    "decode_large_shardmap",
 ]
