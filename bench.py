@@ -319,6 +319,13 @@ def main():
 
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
 
+    # release the sqoa staging before the API/qoi/large sections — each of
+    # those stages multi-GB device buffers of its own
+    del dec_plans, enc_plans, args
+    import gc
+
+    gc.collect()
+
     # --- public API path (corpus_decode / corpus_encode, end to end) --------
     from seqoia_tpu.parallel import batch as pbatch
 
@@ -388,31 +395,37 @@ def main():
 
         # TPU fixpoint decode over every color bucket (device-resident,
         # same methodology as the sqoa numbers); unconverged rows would
-        # take the host fallback in production — convergence is reported
+        # take the host fallback in production — convergence is reported.
+        # Buckets sub-batch so the fixpoint's ~20x-stream working set
+        # stays well inside HBM (rows per launch capped by stream bytes).
         fp_buckets = defaultdict(list)
         for i, q in q_items:
             fp_buckets[(_bucket(len(q)), _bucket(corpus[i][1] * corpus[i][2]))
                        ].append(i)
         fp_plans = []
         fp_conv = 0
-        for (m_pad, n_max), idxs in fp_buckets.items():
-            b = len(idxs)
-            buf = np.zeros((b, m_pad), np.uint8)
-            cl = np.zeros(b, np.int32)
-            npx = np.zeros(b, np.int32)
-            for j, i in enumerate(idxs):
-                q = qoi_streams[i]
-                buf[j, : len(q)] = np.frombuffer(q, np.uint8)
-                cl[j] = len(q) - spec.PADDING_SIZE
-                npx[j] = corpus[i][1] * corpus[i][2]
-            fargs = (jnp.asarray(buf), jnp.asarray(cl), jnp.asarray(npx))
-            ffn = functools.partial(
-                decode_compat.decode_stream_compat_batched,
-                colch=3, out_ch=4, n_max=int(n_max))
-            out, conv = ffn(*fargs)
-            float(sync(out))
-            fp_conv += int(np.sum(np.asarray(conv)))
-            fp_plans.append((ffn, fargs))
+        for (m_pad, n_max), all_idxs in fp_buckets.items():
+            b_cap = max(1, (24 << 20) // m_pad)
+            for c0 in range(0, len(all_idxs), b_cap):
+                idxs = all_idxs[c0 : c0 + b_cap]
+                b = b_cap if len(all_idxs) > b_cap else len(idxs)
+                buf = np.zeros((b, m_pad), np.uint8)
+                cl = np.zeros(b, np.int32)
+                npx = np.zeros(b, np.int32)
+                for j, i in enumerate(idxs):
+                    q = qoi_streams[i]
+                    buf[j, : len(q)] = np.frombuffer(q, np.uint8)
+                    cl[j] = len(q) - spec.PADDING_SIZE
+                    npx[j] = corpus[i][1] * corpus[i][2]
+                fargs = (jnp.asarray(buf), jnp.asarray(cl), jnp.asarray(npx))
+                ffn = functools.partial(
+                    decode_compat.decode_stream_compat_batched,
+                    colch=3, out_ch=4, n_max=int(n_max))
+                out, conv = ffn(*fargs)
+                float(sync(out))
+                fp_conv += int(np.sum(np.asarray(conv)[: len(idxs)]))
+                fp_plans.append((ffn, fargs))
+                del out
 
         @jax.jit
         def _fp_all(all_args):
@@ -426,38 +439,46 @@ def main():
         fp_mpxs = q_px / tfp / 1e6
 
         # TPU compat encode (slot last-writer hash resolution), bucketed
+        # and sub-batched like the fixpoint leg; the fixpoint staging is
+        # released first
+        del fp_plans
+        gc.collect()
         qe_buckets = defaultdict(list)
         for i, q in q_items:
             d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
             qe_buckets[(d.has_alpha, _bucket(d.n_pixels))].append(i)
         qe_plans = []
         qe_parity = 0
-        for (has_alpha, n_pad), idxs in qe_buckets.items():
-            b = len(idxs)
-            rgba = np.zeros((b, n_pad), np.int32)
-            nval = np.zeros(b, np.int32)
-            for j, i in enumerate(idxs):
-                p, w, h, ch, _ = corpus[i]
-                d = sq.SqoaDesc(w, h, ch, 0, 1)
-                rgba[j, : w * h] = encode_jax.normalize_pixels_packed(p, d)
-                nval[j] = w * h
-            cap = spec.cap_bucket(
-                max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
-            eargs = (jnp.asarray(rgba), jnp.asarray(nval))
-            efn = functools.partial(
-                encode_v2.encode_stream_batched,
-                colch=3, has_alpha=bool(has_alpha), compat=True,
-                out_cap=int(cap))
-            out, totals = efn(*eargs)
-            float(sync(out))
-            oh, th = np.asarray(out), np.asarray(totals)
-            for j, i in enumerate(idxs):
-                d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
-                qe_parity += (
-                    spec.pack_header(d) + oh[j, : th[j]].tobytes()
-                ) == qoi_streams[i]
-            qe_plans.append((efn, eargs))
-            del out, oh
+        for (has_alpha, n_pad), all_idxs in qe_buckets.items():
+            b_cap = max(1, (24 << 20) // n_pad)
+            for c0 in range(0, len(all_idxs), b_cap):
+                idxs = all_idxs[c0 : c0 + b_cap]
+                b = b_cap if len(all_idxs) > b_cap else len(idxs)
+                rgba = np.zeros((b, n_pad), np.int32)
+                nval = np.zeros(b, np.int32)
+                for j, i in enumerate(idxs):
+                    p, w, h, ch, _ = corpus[i]
+                    d = sq.SqoaDesc(w, h, ch, 0, 1)
+                    rgba[j, : w * h] = encode_jax.normalize_pixels_packed(
+                        p, d)
+                    nval[j] = w * h
+                cap = spec.cap_bucket(
+                    max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
+                eargs = (jnp.asarray(rgba), jnp.asarray(nval))
+                efn = functools.partial(
+                    encode_v2.encode_stream_batched,
+                    colch=3, has_alpha=bool(has_alpha), compat=True,
+                    out_cap=int(cap))
+                out, totals = efn(*eargs)
+                float(sync(out))
+                oh, th = np.asarray(out), np.asarray(totals)
+                for j, i in enumerate(idxs):
+                    d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
+                    qe_parity += (
+                        spec.pack_header(d) + oh[j, : th[j]].tobytes()
+                    ) == qoi_streams[i]
+                qe_plans.append((efn, eargs))
+                del out, oh
 
         @jax.jit
         def _qe_all(all_args):
@@ -490,11 +511,7 @@ def main():
             "qoi_host_parity_n": q_dec_ok,
             "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
         }
-        del fp_plans, qe_plans
-
-    # release corpus staging before the large-image section
-    del dec_plans, enc_plans, args
-    import gc
+        del qe_plans
 
     gc.collect()
 
