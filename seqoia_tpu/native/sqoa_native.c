@@ -238,6 +238,124 @@ static inline uint8_t cur_next(cursor_t *c) {
     return c->bytes[c->pos++];
 }
 
+/* Specialized QOI-compat color decode (colch==3, output 3 or 4 channels).
+ *
+ * The generic loop below pays per-pixel for generality it doesn't need in
+ * this (hottest) configuration: a replay-aware cursor (REF cannot occur in
+ * compat streams), per-pixel output-format branches, and a run counter
+ * drained one pixel per outer iteration. This path walks the stream with a
+ * raw pointer, keeps the pixel packed in a register, fills runs in a tight
+ * clamped loop (vectorizable), and updates the hash table once per op
+ * (reference semantics update it once per *pixel*, seqoia.h:785-787, but
+ * every pixel of a run re-inserts an identical value into the same slot,
+ * so per-op insertion is equivalent — note the insert must still happen
+ * for RUN and INDEX ops themselves: on decoder-only streams an INDEX read
+ * of a never-written slot yields (0,0,0,0), whose re-insert at slot 0 can
+ * clobber a live entry, exactly as the reference does). Dispatch ranges
+ * mirror the reference order (8-bit tags first, seqoia.h:99-100):
+ * [0xc0,0xff] RUN/RGB/RGBA, [0,0x40) INDEX, [0x40,0x80) DIFF,
+ * [0x80,0xc0) LUMA.
+ */
+static int64_t decode_qoi3_fast(const uint8_t *data, int64_t size,
+                                uint8_t *out, int out_ch, int64_t npx) {
+    const uint8_t *q = data + HDR_SIZE;
+    const uint8_t *qend = data + size - PAD_SIZE;
+    uint32_t table[64];
+    memset(table, 0, sizeof table);
+    uint8_t r = 0, g = 0, b = 0, a = 255;
+    uint32_t pxw = 0xff000000u;
+
+    if (out_ch == 4) {
+        uint32_t *op = (uint32_t *)(void *)out;
+        uint32_t *op_end = op + npx;
+        while (op < op_end) {
+            if (q >= qend) { *op++ = pxw; continue; }
+            uint32_t b1 = *q++;
+            if (b1 >= TAG_RUN) {
+                if (b1 < TAG_RGB) { /* run 1..62 (0xfd == RUN|61 == 62 px) */
+                    table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = pxw;
+                    int64_t run = (int64_t)(b1 & 0x3f) + 1;
+                    if (run > op_end - op) run = op_end - op;
+                    for (int64_t i = 0; i < run; i++) op[i] = pxw;
+                    op += run;
+                    continue;
+                }
+                r = q[0]; g = q[1]; b = q[2];
+                if (b1 == TAG_RGBA) { a = q[3]; q += 4; } else { q += 3; }
+            } else if (b1 < 64) { /* INDEX */
+                pxw = table[b1];
+                r = (uint8_t)pxw; g = (uint8_t)(pxw >> 8);
+                b = (uint8_t)(pxw >> 16); a = (uint8_t)(pxw >> 24);
+                table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = pxw;
+                *op++ = pxw;
+                continue;
+            } else if (b1 < TAG_LUMA) { /* DIFF */
+                r = (uint8_t)(r + ((b1 >> 4) & 3) - 2);
+                g = (uint8_t)(g + ((b1 >> 2) & 3) - 2);
+                b = (uint8_t)(b + (b1 & 3) - 2);
+            } else { /* LUMA */
+                int dg = (int)(b1 & 0x3f) - 32;
+                uint32_t b2 = *q++;
+                r = (uint8_t)(r + dg - 8 + ((b2 >> 4) & 15));
+                g = (uint8_t)(g + dg);
+                b = (uint8_t)(b + dg - 8 + (b2 & 15));
+            }
+            pxw = (uint32_t)r | ((uint32_t)g << 8) | ((uint32_t)b << 16)
+                | ((uint32_t)a << 24);
+            table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = pxw;
+            *op++ = pxw;
+        }
+        return npx * 4;
+    }
+
+    uint8_t *op = out;
+    uint8_t *op_end = out + npx * 3;
+    while (op < op_end) {
+        if (q >= qend) {
+            op[0] = r; op[1] = g; op[2] = b; op += 3;
+            continue;
+        }
+        uint32_t b1 = *q++;
+        if (b1 >= TAG_RUN) {
+            if (b1 < TAG_RGB) {
+                table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] =
+                    (uint32_t)r | ((uint32_t)g << 8) | ((uint32_t)b << 16)
+                    | ((uint32_t)a << 24);
+                int64_t run = (int64_t)(b1 & 0x3f) + 1;
+                if (run > (op_end - op) / 3) run = (op_end - op) / 3;
+                for (int64_t i = 0; i < run; i++) {
+                    op[0] = r; op[1] = g; op[2] = b; op += 3;
+                }
+                continue;
+            }
+            r = q[0]; g = q[1]; b = q[2];
+            if (b1 == TAG_RGBA) { a = q[3]; q += 4; } else { q += 3; }
+        } else if (b1 < 64) {
+            uint32_t v = table[b1];
+            r = (uint8_t)v; g = (uint8_t)(v >> 8);
+            b = (uint8_t)(v >> 16); a = (uint8_t)(v >> 24);
+            table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] = v;
+            op[0] = r; op[1] = g; op[2] = b; op += 3;
+            continue;
+        } else if (b1 < TAG_LUMA) {
+            r = (uint8_t)(r + ((b1 >> 4) & 3) - 2);
+            g = (uint8_t)(g + ((b1 >> 2) & 3) - 2);
+            b = (uint8_t)(b + (b1 & 3) - 2);
+        } else {
+            int dg = (int)(b1 & 0x3f) - 32;
+            uint32_t b2 = *q++;
+            r = (uint8_t)(r + dg - 8 + ((b2 >> 4) & 15));
+            g = (uint8_t)(g + dg);
+            b = (uint8_t)(b + dg - 8 + (b2 & 15));
+        }
+        table[(r * 3 + g * 5 + b * 7 + a * 11) & 63] =
+            (uint32_t)r | ((uint32_t)g << 8) | ((uint32_t)b << 16)
+            | ((uint32_t)a << 24);
+        op[0] = r; op[1] = g; op[2] = b; op += 3;
+    }
+    return npx * 3;
+}
+
 /* Decode one image.
  *
  * data/size: the full file bytes. force_channels: 0 = use header channels,
@@ -298,6 +416,11 @@ int64_t sqn_decode(const uint8_t *data, int64_t size, int force_channels,
         desc_out[3] = (uint32_t)colorspace;
         desc_out[4] = (uint32_t)qoi_compat;
     }
+
+    if (qoi_compat && colch == 3 && channels >= 3 &&
+        (channels == 3 || ((uintptr_t)out_pixels & 3) == 0))
+        return decode_qoi3_fast(data, size, out_pixels, channels,
+                                (int64_t)width * height);
 
     px_t table[128];
     memset(table, 0, sizeof table);
