@@ -81,6 +81,20 @@ def _u8ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+_scratch = threading.local()
+
+
+def _scratch_buf(cap: int) -> np.ndarray:
+    """Per-thread reusable output buffer (grow-only). A fresh np.empty per
+    call costs a page-fault sweep on first write for multi-MB caps; reuse
+    keeps the pages warm across images."""
+    buf = getattr(_scratch, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.empty(max(cap, 1 << 20), dtype=np.uint8)
+        _scratch.buf = buf
+    return buf
+
+
 def encode(
     pixels: np.ndarray,
     width: int,
@@ -98,7 +112,7 @@ def encode(
     # reference omits the SQOA start byte from its budget, which makes its
     # formula 1 byte short when every pixel emits norm_channels+1 bytes.
     cap = width * height * (colch + has_alpha + 1) + 23
-    out = np.empty(cap, dtype=np.uint8)
+    out = _scratch_buf(cap)
     n = lib.sqn_encode(
         _u8ptr(pixels), width, height, channels, colorspace, qoi_compat,
         _u8ptr(out),

@@ -83,6 +83,103 @@ static inline int emit_run_flush(uint8_t *out, int run) {
     return n;
 }
 
+/* Specialized QOI-compat color encode (colch==3, stride 3 or 4).
+ *
+ * The generic loop below carries SQOA-mode state (512-px BIGRUN chunking,
+ * LUMA+ALPHA pairing, mono handling) that compat color streams never use.
+ * This path exploits three compat-mode invariants to run branch-lean:
+ *
+ *   - runs cap at 62 (QOI_MAXRUN), so a pending run always flushes as ONE
+ *     byte (the generic 61-chunking while-loop can't fire);
+ *   - an op-emitting pixel with a changed alpha always lands in INDEX or
+ *     RGBA (hash hit => table entry equals the pixel *including* alpha;
+ *     miss + alpha change => RGBA, seqoia.h:563-582), so the DIFF/LUMA/RGB
+ *     fall-through runs with da==0 and needs no alpha checks at all;
+ *   - the pixel packs into one u32, making prev-compare and table-compare
+ *     single compares instead of 4-byte struct compares.
+ *
+ * Emission order matches the reference exactly (hash -> DIFF -> LUMA ->
+ * RGB, seqoia.h:563-634); trailing run is a single 0xfd regardless of
+ * length (seqoia.h:640-642). Returns bytes written after the header.
+ */
+static int64_t encode_qoi3_fast(const uint8_t *pixels, int64_t npx,
+                                int stride, uint8_t *out) {
+    uint32_t table[64];
+    memset(table, 0, sizeof table);
+    uint8_t pr = 0, pg = 0, pb = 0, pa = 255;
+    uint32_t prevw = 0xff000000u;
+    int64_t n = 0;
+    int run = 0;
+    const uint8_t *p = pixels;
+    const uint8_t *pend = pixels + npx * stride;
+
+/* The per-pixel body, shared between the stride-3 and stride-4 loops below
+ * via a macro so each loop compiles with its stride a constant (no per-pixel
+ * stride branch, and the stride-3 loop drops alpha handling entirely:
+ * a==pa==255 always, so the RGBA arm is dead there). */
+#define QOI3_BODY(R, G, B, A, HAS_ALPHA)                                     \
+    do {                                                                     \
+        uint8_t r = (R), g = (G), b = (B), a = (A);                          \
+        uint32_t curw = (uint32_t)r | ((uint32_t)g << 8) |                   \
+                        ((uint32_t)b << 16) | ((uint32_t)a << 24);           \
+        if (curw == prevw) {                                                 \
+            if (++run == QOI_MAXRUN_) { out[n++] = TAG_BIGRUN; run = 0; }    \
+            break;                                                           \
+        }                                                                    \
+        if (run) { out[n++] = (uint8_t)(TAG_RUN | (run - 1)); run = 0; }     \
+        unsigned slot = (r * 3u + g * 5u + b * 7u + a * 11u) & 63u;          \
+        if (table[slot] == curw) {                                           \
+            out[n++] = (uint8_t)slot;                                        \
+        } else {                                                             \
+            table[slot] = curw;                                              \
+            if (HAS_ALPHA && a != pa) {                                      \
+                out[n] = TAG_RGBA;                                           \
+                out[n + 1] = r; out[n + 2] = g; out[n + 3] = b;              \
+                out[n + 4] = a;                                              \
+                n += 5;                                                      \
+            } else {                                                         \
+                uint8_t dr = (uint8_t)(r - pr), dg = (uint8_t)(g - pg),      \
+                        db = (uint8_t)(b - pb);                              \
+                if ((uint8_t)(dr + 2) < 4 && (uint8_t)(dg + 2) < 4 &&        \
+                    (uint8_t)(db + 2) < 4) {                                 \
+                    out[n++] = (uint8_t)(TAG_QOI_DIFF |                      \
+                                         ((uint8_t)(dr + 2) << 4) |          \
+                                         ((uint8_t)(dg + 2) << 2) |          \
+                                         (uint8_t)(db + 2));                 \
+                } else if ((uint8_t)(dg + 32) < 64 &&                        \
+                           (uint8_t)(dr - dg + 8) < 16 &&                    \
+                           (uint8_t)(db - dg + 8) < 16) {                    \
+                    out[n] = (uint8_t)(TAG_LUMA | (uint8_t)(dg + 32));       \
+                    out[n + 1] = (uint8_t)(((uint8_t)(dr - dg + 8) << 4) |   \
+                                           (uint8_t)(db - dg + 8));          \
+                    n += 2;                                                  \
+                } else {                                                     \
+                    out[n] = TAG_RGB;                                        \
+                    out[n + 1] = r; out[n + 2] = g; out[n + 3] = b;          \
+                    n += 4;                                                  \
+                }                                                            \
+            }                                                                \
+        }                                                                    \
+        prevw = curw;                                                        \
+        pr = r; pg = g; pb = b; pa = a;                                      \
+    } while (0)
+
+    if (stride == 4) {
+        while (p < pend) {
+            QOI3_BODY(p[0], p[1], p[2], p[3], 1);
+            p += 4;
+        }
+    } else {
+        while (p < pend) {
+            QOI3_BODY(p[0], p[1], p[2], 255, 0);
+            p += 3;
+        }
+    }
+#undef QOI3_BODY
+    if (run) out[n++] = TAG_BIGRUN; /* trailing run (seqoia.h:640-642) */
+    return n;
+}
+
 /* Encode one image. Returns the number of bytes written, or -1 on invalid
  * arguments. `out` must hold at least w*h*(norm_channels+1)+22 bytes.
  *
@@ -116,6 +213,14 @@ int64_t sqn_encode(const uint8_t *pixels, uint32_t width, uint32_t height,
     out[n++] = (uint8_t)stride;
     out[n++] = (uint8_t)colorspace;
     if (!qoi_compat) out[n++] = START_BYTE_;
+
+    if (qoi_compat && colch == 3) {
+        n += encode_qoi3_fast(pixels, (int64_t)width * height, stride,
+                              out + n);
+        memset(out + n, 0, 7); n += 7;
+        out[n++] = 1;
+        return n;
+    }
 
     px_t table[64];
     memset(table, 0, sizeof table);
