@@ -47,6 +47,14 @@ BASELINE_QOI_DECODE_MPXS = 244.82  # bench10.txt:122
 BASELINE_QOI_ENCODE_MPXS = 190.69
 
 
+def _note(msg):
+    """Progress marker on stderr (the JSON contract owns stdout). The
+    interesting sections run minutes each on the tunnel; silence reads as
+    a hang."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def _bucket(x, mult=32768):
     """Round up to a tile multiple — tighter than pow2 (less padded work),
     still few distinct shapes per corpus."""
@@ -196,17 +204,40 @@ def main():
         return best
 
     # --- batched SQOA decode: staged device-resident, per bucket ------------
+    # Parity is checked ON DEVICE: the host oracle uploads (H2D ~1.7 GB/s
+    # through the axon tunnel) and a masked compare fetches one bool per
+    # image, instead of pulling the multi-GB decoded pixels back through
+    # the tunnel's ~13-37 MB/s computed-array D2H path.
+    _note(f"decode staging: {len(dec_buckets)} buckets, "
+          f"{total_px / 1e6:.0f} Mpx")
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _rows_equal(out, oracle, olen):
+        if out.dtype != jnp.uint8:
+            ou8 = jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
+                out.shape[0], -1)
+        else:
+            ou8 = out.reshape(out.shape[0], -1)
+        keep = jnp.arange(ou8.shape[1], dtype=jnp.int32)[None, :] < (
+            olen[:, None])
+        return jnp.all((ou8 == oracle) | ~keep, axis=1)
+
     dec_plans = []
     for (cat, colch, out_ch, m_pad, n_max), idxs in dec_buckets.items():
         b = len(idxs)
         buf = np.zeros((b, m_pad), np.uint8)
         clens = np.zeros(b, np.int32)
         npx = np.zeros(b, np.int32)
+        oracle = np.zeros((b, n_max * out_ch), np.uint8)
+        olen = np.zeros(b, np.int32)
         for j, i in enumerate(idxs):
             s = streams[i]
             buf[j, : len(s)] = np.frombuffer(s, np.uint8)
             clens[j] = len(s) - spec.PADDING_SIZE
             npx[j] = corpus[i][1] * corpus[i][2]
+            opix, _ = native.decode(s, 0)
+            oracle[j, : len(opix)] = opix
+            olen[j] = len(opix)
         args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
         fn = functools.partial(
             decode_v2.decode_stream_batched,
@@ -215,18 +246,12 @@ def main():
             src_alpha=(out_ch in (2, 4)),
         )
         out, _ = fn(*args)
-        float(sync(out))  # compile + settle
-        outh = np.asarray(out)
-        if outh.dtype == np.int32:  # emit="words": free host-side view
-            outh = outh.view(np.uint8)
-        for j, i in enumerate(idxs):
-            oracle, _ = native.decode(streams[i], 0)
-            parity_ok += np.array_equal(
-                outh[j].reshape(-1)[: len(oracle)], oracle
-            )
-        del out, outh
+        ok = _rows_equal(out, jnp.asarray(oracle), jnp.asarray(olen))
+        parity_ok += int(np.asarray(ok).sum())
+        del out, ok, oracle
         dec_plans.append((cat, fn, args, sum(
             corpus[i][1] * corpus[i][2] for i in idxs)))
+    _note(f"decode staging done, parity {parity_ok}/{len(corpus)}")
 
     def fuse_decode(plans):
         @jax.jit
@@ -239,6 +264,7 @@ def main():
         return _all
 
     all_dec = fuse_decode(dec_plans)
+    _note("timing fused decode")
     t = timed(all_dec, [a for _, _, a, _ in dec_plans])
     decode_mpxs = total_px / t / 1e6
 
@@ -257,6 +283,16 @@ def main():
         cat_dec[cat] = sum(p[3] for p in plans) / tc / 1e6
 
     # --- batched SQOA encode ------------------------------------------------
+    # Parity on device, same scheme as decode: upload the oracle payloads,
+    # require exact totals + masked byte equality, fetch one bool per image.
+    _note(f"encode staging: {len(enc_buckets)} buckets")
+
+    @jax.jit
+    def _enc_rows_equal(out, totals, exp, elen):
+        keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
+            elen[:, None])
+        return (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+
     enc_plans = []
     enc_parity = 0
     for (cat, colch, has_alpha, n_pad), idxs in enc_buckets.items():
@@ -272,23 +308,26 @@ def main():
         # (observed bytes/px + slack; overflow would retry exactly)
         bucket_max = max(len(streams[i]) for i in idxs)
         cap = spec.cap_bucket(bucket_max * 5 // 4)
+        exp = np.zeros((b, int(cap)), np.uint8)
+        elen = np.zeros(b, np.int32)
+        for j, i in enumerate(idxs):
+            pix, w, h, ch, _ = corpus[i]
+            desc = sq.SqoaDesc(w, h, ch, 0, 0)
+            payload = streams[i][len(spec.pack_header(desc)):]
+            exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+            elen[j] = len(payload)
         args = (jnp.asarray(rgba), jnp.asarray(nval))
         fn = functools.partial(
             encode_v2.encode_stream_batched,
             colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
         )
         out, totals = fn(*args)
-        float(sync(out))
-        outh = np.asarray(out)
-        th = np.asarray(totals)
-        for j, i in enumerate(idxs):
-            pix, w, h, ch, _ = corpus[i]
-            desc = sq.SqoaDesc(w, h, ch, 0, 0)
-            got = spec.pack_header(desc) + outh[j, : th[j]].tobytes()
-            enc_parity += got == streams[i]
-        del out, outh
+        ok = _enc_rows_equal(out, totals, jnp.asarray(exp), jnp.asarray(elen))
+        enc_parity += int(np.asarray(ok).sum())
+        del out, ok, exp
         enc_plans.append((cat, fn, args, sum(
             corpus[i][1] * corpus[i][2] for i in idxs)))
+    _note(f"encode staging done, parity {enc_parity}/{len(corpus)}")
 
     def fuse_encode(plans):
         @jax.jit
@@ -301,6 +340,7 @@ def main():
         return _all
 
     all_enc = fuse_encode(enc_plans)
+    _note("timing fused encode")
     t = timed(all_enc, [a for _, _, a, _ in enc_plans])
     encode_mpxs = total_px / t / 1e6
 
@@ -331,6 +371,7 @@ def main():
 
     api = {}
     if os.environ.get("SEQOIA_BENCH_API", "1") == "1":
+        _note("API path section")
         descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
         imgs = [p for p, *_ in corpus]
         dec = pbatch.BatchDecoder()
@@ -357,6 +398,7 @@ def main():
     # reference's M1 core), the TPU kernel path with the chip.
     qoi = {}
     if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1":
+        _note("qoi section")
         from seqoia_tpu.codec import decode_compat
 
         q_items = [
@@ -523,6 +565,7 @@ def main():
     # --- large single image (100 Mpx, BASELINE config 5) --------------------
     large = {}
     if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1":
+        _note("large-image section")
         from seqoia_tpu.parallel import tiled
         from seqoia_tpu.ops import pallas_pack
 
