@@ -142,8 +142,7 @@ def _dec_epilogue(out_ch: int):
             keep = (flat & 3) != 3
             d = jnp.where(keep, flat >> 2, -1)
             nbits = max((rows * L // 4 - 1).bit_length(), 1)
-            _, (p0,) = ktools.butterfly_compact(d, [x], nbits)
-            _, (p1,) = ktools.butterfly_compact(d, [x1], nbits)
+            _, (p0, p1) = ktools.butterfly_compact(d, [x, x1], nbits)
             wrows = rows * 3 // 4
             src0, src1 = p0[0:wrows, :], p1[0:wrows, :]
             wl = ktools.iota2((wrows, L), 0) * L + ktools.iota2((wrows, L), 1)

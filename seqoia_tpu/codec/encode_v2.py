@@ -42,6 +42,34 @@ _CL_NONE = 7      # run-only pixel (BIGRUN byte or nothing)
 _INIT_PACKED = int(np.int32(np.uint32(255 << 24)))
 
 
+def _emit_inits(colch):
+    """place_emit fill inits matching _emit_payloads' stream order."""
+    return (_INIT_PACKED, _CL_NONE << 9, 0)
+
+
+def _emit_payloads(pays_c, keys_c):
+    """Payload list handed to place_emit for the fused encode path."""
+    return list(pays_c) + [keys_c]
+
+
+def _pack_meta(pending, cls, vg, vg_r, vg_b, va):
+    """Meta word: run/flush state + op class + the op's wrapped deltas.
+
+    Packing the deltas (instead of carrying the predecessor pixel as its
+    own stream) drops one int32 stream from the compaction butterfly, the
+    staging DMAs, HBM, and the placement kernel. Layout:
+      bits 0-8 pending, 9-11 cls, 12-17 vg+32, 18-21 vg_r+8, 22-25 vg_b+8,
+      26-30 va+16, 31 alpha-changed. flush_n is recomputed from pending
+    (seqoia.h:554-561). Delta fields are masked — only LUMA/DIFF classes
+    read them; vr/vb reconstruct as wrap8(vg + vg_r/vg_b)."""
+    return (
+        pending | (cls << 9)
+        | (((vg + 32) & 63) << 12) | (((vg_r + 8) & 15) << 18)
+        | (((vg_b + 8) & 15) << 22) | (((va + 16) & 31) << 26)
+        | ((va != 0).astype(jnp.int32) << 31)
+    )
+
+
 def _wrap8(x):
     return ((x + 128) & 255) - 128
 
@@ -122,9 +150,9 @@ def _emit_epilogue(colch: int):
         return _EPILOGUES[colch]
 
     def epilogue(filled, base, scal):
-        cur_f, prev_f, meta_f, off_f = filled
+        cur_f, meta_f, off_f = filled
         chunk_total, trail_flag, emit_tail = scal[0], scal[1], scal[2]
-        if cur_f.ndim == 2:  # in-kernel: rebuild global byte positions
+        if jnp.ndim(base) == 0:  # in-kernel: rebuild global byte positions
             rows, L = cur_f.shape
             t = base + jax.lax.broadcasted_iota(
                 jnp.int32, (rows, L), 0
@@ -133,20 +161,18 @@ def _emit_epilogue(colch: int):
             t = base
         k = t - off_f
         pend_o = meta_f & 0x1FF
-        flush_o = (meta_f >> 9) & 0xF
-        cls_o = (meta_f >> 13) & 0x7
+        cls_o = (meta_f >> 9) & 0x7
+        flush_o = jnp.where(
+            pend_o > 0, ((jnp.maximum(pend_o - 1, 0) * 538) >> 15) + 1, 0
+        )
 
         ocr, ocg = cur_f & 255, (cur_f >> 8) & 255
         ocb, oca = (cur_f >> 16) & 255, (cur_f >> 24) & 255
-        opr, opg = prev_f & 255, (prev_f >> 8) & 255
-        opb, opa = (prev_f >> 16) & 255, (prev_f >> 24) & 255
-        ovr = _wrap8(ocr - opr)
-        ovg = _wrap8(ocg - opg)
-        ovb = _wrap8(ocb - opb)
-        ova = _wrap8(oca - opa)
-        ovg_r = _wrap8(ovr - ovg)
-        ovg_b = _wrap8(ovb - ovg)
-        oalpha = ova != 0
+        ovg = ((meta_f >> 12) & 63) - 32
+        ovg_r = ((meta_f >> 18) & 15) - 8
+        ovg_b = ((meta_f >> 22) & 15) - 8
+        ova = ((meta_f >> 26) & 31) - 16
+        oalpha = (meta_f >> 31) & 1
 
         j = k - flush_o
         if colch == 3:
@@ -241,8 +267,8 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
              jnp.ones_like(chunk_totals)], axis=-1
         )
         out = pallas_engine.place_emit(
-            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
-            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
+            _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )
@@ -327,7 +353,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
 
     # --- spread emission fields across each pixel's byte range -------------
     emit = total_len > 0
-    meta = pending | (flush_n << 9) | (cls << 13)
+    meta = _pack_meta(pending, cls, vg, vg_r, vg_b, va)
 
     # trailing run + end marker scalars (branchless, batched)
     last_c = jnp.max(jnp.where(change, idx, -1), axis=-1)
@@ -339,7 +365,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals_c = pallas_engine.compact(
-            emit, offsets, [packed, prev_packed, meta]
+            emit, offsets, [packed, meta]
         )
         if not compat:
             # fused placement + in-kernel byte emission (single uint8 out)
@@ -348,15 +374,15 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
                  jnp.ones_like(chunk_total)], axis=-1
             )
             out = pallas_engine.place_emit(
-                keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
-                (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+                keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal,
+                out_cap, _emit_inits(colch),
                 _emit_epilogue(colch),
                 p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
             )
             return out, total
-        cur_f, prev_f, meta_f, off_f = pallas_engine.place_fill(
+        cur_f, meta_f, off_f = pallas_engine.place_fill(
             keys_c, pays_c + [keys_c], totals_c, out_cap,
-            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            _emit_inits(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )
     else:
@@ -370,28 +396,27 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
 
         emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
         cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
-        prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
-        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
+        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 9)
         off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
 
     # --- per-output-byte computation ----------------------------------------
     t = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
     k = t - off_f
     pend_o = meta_f & 0x1FF
-    flush_o = (meta_f >> 9) & 0xF
-    cls_o = (meta_f >> 13) & 0x7
+    cls_o = (meta_f >> 9) & 0x7
+    flush_o = jnp.where(
+        pend_o > 0, ((jnp.maximum(pend_o - 1, 0) * 538) >> 15) + 1, 0
+    )
 
     ocr, ocg = cur_f & 255, (cur_f >> 8) & 255
     ocb, oca = (cur_f >> 16) & 255, (cur_f >> 24) & 255
-    opr, opg = prev_f & 255, (prev_f >> 8) & 255
-    opb, opa = (prev_f >> 16) & 255, (prev_f >> 24) & 255
-    ovr = _wrap8(ocr - opr)
-    ovg = _wrap8(ocg - opg)
-    ovb = _wrap8(ocb - opb)
-    ova = _wrap8(oca - opa)
-    ovg_r = _wrap8(ovr - ovg)
-    ovg_b = _wrap8(ovb - ovg)
-    oalpha = ova != 0
+    ovg = ((meta_f >> 12) & 63) - 32
+    ovg_r = ((meta_f >> 18) & 15) - 8
+    ovg_b = ((meta_f >> 22) & 15) - 8
+    ova = ((meta_f >> 26) & 31) - 16
+    ovr = _wrap8(ovg + ovg_r)
+    ovb = _wrap8(ovg + ovg_b)
+    oalpha = (meta_f >> 31) & 1
 
     j = k - flush_o  # op-byte index
     if compat:
@@ -542,8 +567,8 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
              jnp.asarray(emit_tail, jnp.int32)]
         )[None, :]
         out = pallas_engine.place_emit(
-            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
-            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
+            _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )[0]
@@ -607,7 +632,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
     offsets = offsets - total_len  # exclusive
 
     emit = total_len > 0
-    meta = pending | (flush_n << 9) | (cls << 13)
+    meta = _pack_meta(pending, cls, vg, vg_r, vg_b, va)
 
     last_c = jnp.max(jnp.where(change, idx, -1))
     trail_raw = (n_valid - 1) - last_c + jnp.where(last_c == -1, run_in, 0)
@@ -621,16 +646,15 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals_c = pallas_engine.compact(
-            emit[None], offsets[None], [packed[None], prev_packed[None],
-                                        meta[None]]
+            emit[None], offsets[None], [packed[None], meta[None]]
         )
         scal = jnp.stack(
             [chunk_total, has_trail.astype(jnp.int32),
              jnp.asarray(emit_tail, jnp.int32)]
         )[None, :]
         out = pallas_engine.place_emit(
-            keys_c, pays_c + [keys_c], totals_c, scal, out_cap,
-            (_INIT_PACKED, _INIT_PACKED, _CL_NONE << 13, 0),
+            keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
+            _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
         )[0]
@@ -645,13 +669,12 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
 
         emit_f = scat(jnp.where(emit, 1, 0)).astype(bool)
         cur_f = scan_ops.fill_forward(scat(packed), emit_f, init)
-        prev_f = scan_ops.fill_forward(scat(prev_packed), emit_f, init)
-        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 13)
+        meta_f = scan_ops.fill_forward(scat(meta), emit_f, _CL_NONE << 9)
         off_f = scan_ops.fill_forward(scat(offsets), emit_f, 0)
 
     t = jnp.arange(out_cap, dtype=jnp.int32)
     out = _emit_epilogue(colch)(
-        (cur_f, prev_f, meta_f, off_f), t,
+        (cur_f, meta_f, off_f), t,
         (chunk_total, has_trail.astype(jnp.int32),
          jnp.asarray(emit_tail, jnp.int32)),
     ).astype(jnp.uint8)

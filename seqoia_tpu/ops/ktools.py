@@ -111,6 +111,49 @@ def flat_shift_right(x, s, fill):
 # In-tile scans (lane log-scan, then row log-scan of row aggregates)
 # ---------------------------------------------------------------------------
 
+# NOTE (round 3, measured): an MXU-based row phase — moving the per-row
+# aggregate column into one (8,128) vreg with selection matmuls
+# (Precision.HIGHEST, 16-bit split for 32-bit payloads), scanning there,
+# and moving back — was implemented and benchmarked against the classic
+# full-tile row phase on v5e. It LOST uniformly (map scan 3.41 -> 3.80
+# us/tile, + scan 1.55 -> 2.40, SWAR channel scan 2.65 -> 3.20): the
+# dot lowering's layout moves and f32 round trips cost more than the
+# full-width row stages they replace, which Mosaic already lowers well
+# for lane-broadcast data. Rejected; see /tmp-style vbench in
+# NOTES_ROUND4.md for the methodology.
+
+
+def lane_row_scan_multi(vals, combine, identities):
+    """Joint inclusive flat scan of several arrays sharing one combine
+    (combine maps two lists of arrays to one list)."""
+    rows = vals[0].shape[0]
+    lane = iota2(vals[0].shape, 1)
+    row = iota2(vals[0].shape, 0)
+    xs = list(vals)
+    k = 1
+    while k < _L:
+        sh = [
+            jnp.where(lane >= k, pltpu.roll(x, k, 1), ident)
+            for x, ident in zip(xs, identities)
+        ]
+        xs = combine(sh, xs)
+        k *= 2
+    aggs = [jnp.broadcast_to(x[:, _L - 1 : _L], x.shape) for x in xs]
+    ex = [
+        jnp.where(row >= 1, pltpu.roll(a, 1, 0), ident)
+        for a, ident in zip(aggs, identities)
+    ]
+    k = 1
+    while k < rows:
+        sh = [
+            jnp.where(row >= k, pltpu.roll(x, k, 0), ident)
+            for x, ident in zip(ex, identities)
+        ]
+        ex = combine(sh, ex)
+        k *= 2
+    return combine(ex, xs)
+
+
 def lane_row_scan(vals, combine, identity):
     """Inclusive scan over flat row-major (rows, L) with an associative
     combine(left, right) and its identity."""

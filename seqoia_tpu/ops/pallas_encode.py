@@ -11,7 +11,12 @@ VMEM once and does all of it on-chip:
   positions + closed-form 61/512 chunking, seqoia.h:544-561) → delta
   classification (LUMA window / RGB fallback, seqoia.h:593-634) → byte
   offsets (prefix sum) → butterfly compaction of the emitting pixels →
-  unpadded append to the global (offsets, cur, prev, meta) stream.
+  unpadded append to the global (offsets, cur, meta) stream.
+
+The meta word packs the op class AND its wrapped deltas
+(vg/vg_r/vg_b/va + alpha-changed — encode_v2._pack_meta), so the
+predecessor pixel never leaves the kernel: one fewer stream through the
+butterfly, the staging buffers, HBM, and the placement kernel.
 
 Cross-tile state (prev pixel, last change index, byte cursor, append
 cursor + partial row) lives in SMEM/VMEM scratch across the sequential
@@ -58,9 +63,9 @@ def _w8(x):
 
 
 def _front_kernel(colch, *refs):
-    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, p2out, scal_ref,
-     ob0, ob1, ob2, ob3, crow, carry, sem) = refs
-    obufs = (ob0, ob1, ob2, ob3)
+    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, scal_ref,
+     ob0, ob1, ob2, crow, carry, sem) = refs
+    obufs = (ob0, ob1, ob2)
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -100,9 +105,9 @@ def _front_kernel(colch, *refs):
 
 
 def _front_tile_body(colch, refs, bi, t, nv):
-    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, p2out, scal_ref,
-     ob0, ob1, ob2, ob3, crow, carry, sem) = refs
-    obufs = (ob0, ob1, ob2, ob3)
+    (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, scal_ref,
+     ob0, ob1, ob2, crow, carry, sem) = refs
+    obufs = (ob0, ob1, ob2)
 
     px = px_ref[0]  # (ROWS, L) int32 packed pixels
     flat = ktools.iota2((_ROWS, _L), 0) * _L + ktools.iota2((_ROWS, _L), 1)
@@ -159,10 +164,16 @@ def _front_tile_body(colch, refs, bi, t, nv):
         op_len = jnp.where(
             alpha_changed, 3, jnp.where(luma_ok, 1, 2)
         )
+        vg_r = vg_b = jnp.zeros_like(vg)
 
     total_len = jnp.where(change, flush_n + op_len, jnp.where(bigrun, 1, 0))
     cls = jnp.where(change, cls, _CL_NONE)
-    meta = pending | (flush_n << 9) | (cls << 13)
+    meta = (
+        pending | (cls << 9)
+        | (((vg + 32) & 63) << 12) | (((vg_r + 8) & 15) << 18)
+        | (((vg_b + 8) & 15) << 22) | (((va + 16) & 31) << 26)
+        | ((va != 0).astype(jnp.int32) << 31)
+    )
 
     tl_incl = ktools.lane_row_scan(total_len, lambda a, c: a + c, 0)
     offsets = tl_incl - total_len + carry[_C_OFF]
@@ -172,7 +183,7 @@ def _front_tile_body(colch, refs, bi, t, nv):
     incl = ktools.lane_row_scan(emit, lambda a, c: a + c, 0)
     n_here = ktools.extract(incl, _ROWS - 1, _L - 1)
     d = jnp.where(emit != 0, flat - (incl - emit), -1)
-    d, srcs = ktools.butterfly_compact(d, [offsets, px, prev, meta], 15)
+    d, srcs = ktools.butterfly_compact(d, [offsets, px, meta], 15)
 
     sh = carry[_C_CURSOR] % _L
     row = ktools.iota2((_ROWS, _L), 0)
@@ -185,7 +196,7 @@ def _front_tile_body(colch, refs, bi, t, nv):
 
     cur_row = carry[_C_CURSOR] // _L
     cps = []
-    for i, (ob, out) in enumerate(zip(obufs, (kout, p0out, p1out, p2out))):
+    for i, (ob, out) in enumerate(zip(obufs, (kout, p0out, p1out))):
         cp = pltpu.make_async_copy(
             ob.at[pl.ds(0, _OBUF_ROWS), :],
             out.at[bi, pl.ds(cur_row, _OBUF_ROWS), :],
@@ -220,8 +231,9 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
     codec's initial state) and ``lc0 = -(run_in+1)`` encodes a carried-in
     run of run_in pixels as a virtual change anchor (default -1 = none).
 
-    Returns (keys=byte offsets, [cur, prev, meta] compacted streams,
-    entry_totals (B,), chunk_totals (B,), last_change (B,)).
+    Returns (keys=byte offsets, [cur, meta] compacted streams (meta packs
+    cls + wrapped deltas, encode_v2._pack_meta layout), entry_totals (B,),
+    chunk_totals (B,), last_change (B,)).
     """
     b, n = packed.shape
     if init_prev is None:
@@ -244,22 +256,22 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
         kern,
         grid=(b, t),
         in_specs=[in_spec, smem, smem, smem],
-        out_specs=[any_spec] * 4 + [scal_spec],
-        out_shape=[shaped((b, rows_out, _L))] * 4 + [shaped((b, 8, _L))],
+        out_specs=[any_spec] * 3 + [scal_spec],
+        out_shape=[shaped((b, rows_out, _L))] * 3 + [shaped((b, 8, _L))],
         scratch_shapes=(
-            [pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32)] * 4
+            [pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32)] * 3
             + [
-                pltpu.VMEM((4, _L), jnp.int32),
+                pltpu.VMEM((3, _L), jnp.int32),
                 pltpu.SMEM((4,), jnp.int32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((3,)),
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
     )(packed.reshape(b, t * _ROWS, _L), n_valid, init_prev, lc0)
     keys = outs[0].reshape(b, rows_out * _L)
-    pays = [o.reshape(b, rows_out * _L) for o in outs[1:4]]
-    scal = outs[4]
+    pays = [o.reshape(b, rows_out * _L) for o in outs[1:3]]
+    scal = outs[3]
     return (
         keys, pays, scal[:, 0, 0], scal[:, 0, 1], scal[:, 0, 2]
     )

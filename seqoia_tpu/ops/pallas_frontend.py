@@ -5,22 +5,25 @@ The unfused front-end (decode_v2 stages 1-4) runs ~6 separate scans plus
 through HBM. This kernel streams each byte tile through VMEM once and
 computes everything on-chip:
 
-  token automaton (5-state map composition) → alpha modifier/run
-  alternation (segmented counts) → pixel counts + offsets (prefix sum) →
-  channel elements → segmented modular channel sums → packed RGBA + token
-  validity,
+  token automaton (map composition; in alpha-capable mode each op's
+  length absorbs a following alpha-modifier byte, so the round-2
+  alternation scans disappear) → pixel counts + offsets (prefix sum) →
+  channel elements → one segmented SWAR modular sum over all four
+  channels → packed RGBA + token validity,
 
 with scalar carries in SMEM threading the cross-tile state. Shifted
 operand views come from a one-row halo so every shift stays on-chip.
 
 ``decode_front_compact`` additionally runs the butterfly compaction
 *inside the kernel* (mirroring pallas_encode's fused encode front) and
-appends the surviving ops to a dense output stream at an exact cursor —
-the round-2 pipeline's (valid, pixoff, packed) HBM round trip and its
-separate compact dispatch disappear. The byte stream is ingested as uint8
-directly (in-kernel convert) instead of staging a 4x int32 copy in HBM.
+appends the surviving ops to a dense output stream at an exact cursor.
+The byte stream is ingested as uint8 directly (in-kernel convert).
 
-Covers the hot mode (color, non-compat); other modes use the unfused path.
+Covers the hot mode (color, non-compat); other modes use the unfused
+path. Reference semantics: seqoia.h:722-806 — note the dispatch's final
+``else {run = b1 & 0x3f}`` makes *any* unmatched byte (including
+alpha-range bytes fetched as ops) a run, and the alpha peek
+(seqoia.h:777-783) consumes exactly one modifier byte after every op.
 """
 
 from __future__ import annotations
@@ -47,19 +50,27 @@ _RH = _R + 1             # +1 halo row for shifted operand views
 _TILE = _R * _L
 _OBUF_ROWS = _R + 8      # compact staging: full tile + wrap row, DMA aligned
 
-_IDENT_MAP = 0 | (1 << 3) | (2 << 6) | (3 << 9) | (4 << 12)
 _INT_MIN = -(2**31)
 
+# token automata: 5 states (skip 0-4) without modifier absorption, 6 states
+# (skip 0-5) when op lengths absorb a trailing alpha-modifier byte
+_IDENT5 = sum(e << (3 * e) for e in range(5))
+_IDENT6 = sum(e << (3 * e) for e in range(6))
+_BASE5 = sum((e - 1) << (3 * e) for e in range(1, 5))
+_BASE6 = sum((e - 1) << (3 * e) for e in range(1, 6))
+
+# SWAR byte-lane arithmetic over packed r|g<<8|b<<16|a<<24
+_SWAR_LO = 0x7F7F7F7F
+_SWAR_HI = -0x7F7F7F80   # int32 bit pattern 0x80808080
+_M_RGB = 0x00FFFFFF
+_M_A = -16777216         # int32 bit pattern 0xFF000000
+
 # carry slots
-(_C_MAP, _C_ACNT, _C_BRK, _C_SEEN, _C_NPIX, _C_RG, _C_BA, _C_REF,
- _C_CUR) = range(9)
+(_C_MAP, _C_NPIX, _C_VAL, _C_FLG, _C_REF, _C_CUR) = range(6)
 
 
 def _extract(x, r, l):
-    """Scalar at fixed (r, l) of a vector value via positional reduction."""
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.max(jnp.where((row == r) & (lane == l), x, _INT_MIN))
+    return ktools.extract(x, r, l)
 
 
 def _shift_flat_left(x, k):
@@ -74,55 +85,39 @@ def _shift_flat_left(x, k):
     return jnp.where(lane < _L - k, a, b)
 
 
-def _lane_row_scan(vals, combine, identity, rows):
-    """Inclusive in-tile scan over row-major (rows, L) values."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _L), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, _L), 0)
-    x = vals
-    k = 1
-    while k < _L:
-        sh = jnp.where(lane >= k, pltpu.roll(x, k, 1), identity)
-        x = combine(sh, x)
-        k *= 2
-    agg = jnp.broadcast_to(x[:, _L - 1 : _L], (rows, _L))
-    ex = jnp.where(row >= 1, pltpu.roll(agg, 1, 0), identity)
-    k = 1
-    while k < rows:
-        sh = jnp.where(row >= k, pltpu.roll(ex, k, 0), identity)
-        ex = combine(sh, ex)
-        k *= 2
-    return combine(ex, x)
-
-
-def _compose_maps(left, right):
+def _compose_maps(left, right, ns):
     out = jnp.zeros_like(left)
-    for e in range(5):
+    for e in range(ns):
         fe = (left >> (3 * e)) & 7
         he = (right >> (3 * fe)) & 7
         out = out | (he << (3 * e))
     return out
 
 
-def _compose_scalar(left, right):
+def _compose_scalar(left, right, ns):
     out = 0
-    for e in range(5):
+    for e in range(ns):
         fe = (left >> (3 * e)) & 7
         he = (right >> (3 * fe)) & 7
         out = out | (he << (3 * e))
     return out
 
 
-_M2 = 0x00FF00FF
-_F2 = 0x01000100
+def _swar_add(a, b):
+    """Per-byte mod-256 add of packed 4x8-bit lanes (no cross-lane carry)."""
+    return ((a & _SWAR_LO) + (b & _SWAR_LO)) ^ ((a ^ b) & _SWAR_HI)
 
 
-def _seg_combine(l, r):
-    sum_ = ((l & _M2) + (r & _M2)) & _M2
-    rf0 = (r >> 8) & 1
-    rf1 = (r >> 24) & 1
-    ch0 = jnp.where(rf0 != 0, r & 0x000000FF, sum_ & 0x000000FF)
-    ch1 = jnp.where(rf1 != 0, r & 0x00FF0000, sum_ & 0x00FF0000)
-    return ch0 | ch1 | (l & _F2) | (r & _F2)
+def _chan_combine(ls, rs):
+    """Segmented per-byte modular sum over (value, flags) pairs.
+
+    flags bit 0: rgb bytes are absolute (RGB/RGBA anchor resets r,g,b);
+    flags bit 1: a byte is absolute (RGBA anchor resets a)."""
+    lv, lf = ls
+    rv, rf = rs
+    s = _swar_add(lv, rv)
+    m = (rf & 1) * _M_RGB | ((rf >> 1) & 1) * _M_A
+    return [(rv & m) | (s & ~m), lf | rf]
 
 
 def _front_body(n_max, no_alpha, b, pos, clen, carry):
@@ -150,99 +145,58 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     )
 
     # --- token automaton ----------------------------------------------------
-    base_map = (0 << 3) | (1 << 6) | (2 << 9) | (3 << 12)
-    eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens, 1)
-    maps = (eff_lens - 1) + base_map
-    incl = _lane_row_scan(maps, _compose_maps, _IDENT_MAP, _RH)
+    # Alpha-capable mode: fold the reference's one-byte alpha peek
+    # (seqoia.h:777-783) into the token length — an op whose following byte
+    # is alpha-range absorbs it, so alpha modifiers are exactly the
+    # alpha-range bytes that are NOT token starts. This replaces round 2's
+    # alternation machinery (alpha-count scan + segmented fill).
+    if no_alpha:
+        ns, ident, base = 5, _IDENT5, _BASE5
+        lens2 = lens
+    else:
+        ns, ident, base = 6, _IDENT6, _BASE6
+        isalpha = (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
+        ia = isalpha.astype(jnp.int32)
+        ext = jnp.zeros_like(b)
+        for k in (1, 2, 4, 5):
+            ext = ext + jnp.where(lens == k, _shift_flat_left(ia, k), 0)
+        lens2 = lens + ext
+    eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2, 1)
+    maps = (eff_lens - 1) + base
+    comp = functools.partial(_compose_maps, ns=ns)
+    incl = ktools.lane_row_scan(maps, comp, ident)
+    # excl[i] = composition of maps[0..i-1] within the tile: roll by one in
+    # flat order (lane 0 takes previous row's lane 127)
     excl = jnp.where(
         lane >= 1, pltpu.roll(incl, 1, 1),
         jnp.where(row >= 1, pltpu.roll(pltpu.roll(incl, 1, 1), 1, 0),
-                  _IDENT_MAP),
+                  ident),
     )
-    # excl[i] = composition of maps[0..i-1] within the tile: roll by one in
-    # flat order (lane 0 takes previous row's lane 127)
     e0 = carry[_C_MAP] & 7
     state = (excl >> (3 * e0)) & 7
     token = (state == 0) & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
 
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
-    carry[_C_MAP] = _compose_scalar(carry[_C_MAP], tile_map)
+    carry[_C_MAP] = _compose_scalar(carry[_C_MAP], tile_map, ns)
 
-    if no_alpha:
-        # fast front for alpha-less sources (header channels==3): the
-        # encoder never emits ALPHA modifiers for them (va==0 always,
-        # seqoia.h:616-618), so any alpha-range token means a foreign/
-        # corrupt stream — flag it for the host fallback, like REF
-        carry[_C_REF] = carry[_C_REF] | jnp.max(
-            jnp.where(token & (b < spec.OP_LUMA) & (row < _R), 1, 0)
-        )
-        is_mod = jnp.zeros_like(token)
-        is_op = token
-    else:
-        carry[_C_REF] = carry[_C_REF] | jnp.max(
-            jnp.where(
-                token & (b < spec.OP_ALPHA) & (row < _R), 1, 0
-            )
-        )
-
-        # --- alpha modifier / run alternation --------------------------------
-        alpha_tok = token & (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
-        op_tok = token & ~alpha_tok
-        acnt_loc = _lane_row_scan(
-            alpha_tok.astype(jnp.int32), lambda a, c: a + c, 0, _RH
-        )
-        acnt = acnt_loc + carry[_C_ACNT]
-        # fill acnt at op positions (value scan with flags)
-        fv, ff = acnt, op_tok.astype(jnp.int32)
-
-        def fill2(vals, flags):
-            v, f = vals, flags
-            k = 1
-            while k < _L:
-                vs = jnp.where(lane >= k, pltpu.roll(v, k, 1), 0)
-                fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
-                v = jnp.where(f != 0, v, vs)
-                f = f | fs
-                k *= 2
-            va = jnp.broadcast_to(v[:, _L - 1 : _L], (_RH, _L))
-            fa = jnp.broadcast_to(f[:, _L - 1 : _L], (_RH, _L))
-            vp = jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0)
-            fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
-            k = 1
-            while k < _RH:
-                vs = jnp.where(row >= k, pltpu.roll(vp, k, 0), 0)
-                fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
-                vp = jnp.where(fp != 0, vp, vs)
-                fp = fp | fs
-                k *= 2
-            v_out = jnp.where(f != 0, v, vp)
-            f_out = f | fp
-            return v_out, f_out
-
-        brk_loc, brk_f = fill2(fv, ff)
-        brk = jnp.where(brk_f != 0, brk_loc, carry[_C_BRK])
-        seen = (brk_f != 0) | (carry[_C_SEEN] != 0)
-        alpha_idx = acnt - brk
-        want = jnp.where(seen, 1, 0)
-        is_mod = alpha_tok & ((alpha_idx & 1) == want)
-        is_op = token & ~is_mod
-
-        carry[_C_ACNT] = _extract(acnt, _R - 1, _L - 1)
-        brk_end = _extract(
-            jnp.where(brk_f != 0, brk_loc, _INT_MIN), _R - 1, _L - 1
-        )
-        seen_any = jnp.max(jnp.where(row < _R, brk_f, 0))
-        carry[_C_BRK] = jnp.where(brk_end != _INT_MIN, brk_end, carry[_C_BRK])
-        carry[_C_SEEN] = jnp.where(seen_any != 0, 1, carry[_C_SEEN])
+    # foreign-stream flag: REF range always; in alpha-less sources (header
+    # channels==3) the encoder never emits ALPHA modifiers either (va==0
+    # always, seqoia.h:616-618), so any alpha-range token flags too
+    foreign_lim = spec.OP_LUMA if no_alpha else spec.OP_ALPHA
+    carry[_C_REF] = carry[_C_REF] | jnp.max(
+        jnp.where(token & (b < foreign_lim) & (row < _R), 1, 0)
+    )
+    is_op = token
 
     # --- pixel counts + offsets ----------------------------------------------
-    run_px = (b & 0x3F) + 1
-    npix = run_px
+    # any unmatched byte is a run of (b&0x3f)+1 (the dispatch's final else,
+    # seqoia.h:773-775) — including alpha-range bytes fetched as ops
+    npix = (b & 0x3F) + 1
     npix = jnp.where(is_luma | is_rgb | is_rgba, 1, npix)
     npix = jnp.where(b == spec.OP_BIGRUN, spec.SQOA_MAXRUN, npix)
-    npix = jnp.where(b < spec.OP_ALPHA, 1, npix)
+    npix = jnp.where(b < spec.OP_ALPHA, 1, npix)  # REF: fallback anyway
     npix = jnp.where(is_op, npix, 0)
-    pix_incl = _lane_row_scan(npix, lambda a, c: a + c, 0, _RH)
+    pix_incl = ktools.lane_row_scan(npix, lambda a, c: a + c, 0)
     pixoff = pix_incl - npix + carry[_C_NPIX]
     carry[_C_NPIX] = carry[_C_NPIX] + _extract(pix_incl, _R - 1, _L - 1)
 
@@ -256,36 +210,33 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
     a_el = jnp.where(anchor_a, b4, 0)
     if not no_alpha:
-        mod_delta = jnp.where(is_mod, (b & 0x1F) - 16, 0)
+        # each op's absorbed modifier sits lens bytes after the op start
+        mod_delta = jnp.where(isalpha, (b & 0x1F) - 16, 0)
         attached = jnp.zeros_like(b)
-        for L in (1, 2, 4, 5):
+        for k in (1, 2, 4, 5):
             attached = attached + jnp.where(
-                lens == L, _shift_flat_left(mod_delta, L), 0
+                lens == k, _shift_flat_left(mod_delta, k), 0
             )
         a_el = a_el + jnp.where(is_op, attached, 0)
 
-    def pack_pair(v0, f0, v1, f1):
-        return (
-            (v0 & 255) | (jnp.where(f0, 1, 0) << 8)
-            | ((v1 & 255) << 16) | (jnp.where(f1, 1, 0) << 24)
-        )
-
-    rg = _lane_row_scan(
-        pack_pair(r_el, anchor_rgb, g_el, anchor_rgb), _seg_combine, 0, _RH
+    # one segmented SWAR scan over all four channels (round 2 ran two
+    # 16-bit-packed pair scans)
+    val = (
+        (r_el & 255) | ((g_el & 255) << 8)
+        | ((b_el & 255) << 16) | ((a_el & 255) << 24)
     )
-    ba = _lane_row_scan(
-        pack_pair(b_el, anchor_rgb, a_el, anchor_a), _seg_combine, 0, _RH
-    )
-    rg = _seg_combine(jnp.full((_RH, _L), carry[_C_RG], jnp.int32), rg)
-    ba = _seg_combine(jnp.full((_RH, _L), carry[_C_BA], jnp.int32), ba)
-    carry[_C_RG] = _extract(rg, _R - 1, _L - 1)
-    carry[_C_BA] = _extract(ba, _R - 1, _L - 1)
+    flg = anchor_rgb.astype(jnp.int32) | (anchor_a.astype(jnp.int32) << 1)
+    sv, sf = ktools.lane_row_scan_multi([val, flg], _chan_combine, [0, 0])
+    cv = jnp.full((_RH, _L), carry[_C_VAL], jnp.int32)
+    cf = jnp.full((_RH, _L), carry[_C_FLG], jnp.int32)
+    sv, sf = _chan_combine([cv, cf], [sv, sf])
+    carry[_C_VAL] = _extract(sv, _R - 1, _L - 1)
+    carry[_C_FLG] = _extract(sf, _R - 1, _L - 1)
 
-    r_v, g_v = rg & 255, (rg >> 16) & 255
-    b_v, a_v = ba & 255, (ba >> 16) & 255
-    a_flag = (ba >> 24) & 1
-    a_v = jnp.where(a_flag == 1, a_v, (a_v + 255) & 255)
-    packed = r_v | (g_v << 8) | (b_v << 16) | (a_v << 24)
+    a_v = (sv >> 24) & 255
+    # alpha starts at 255 until the first RGBA anchor (seqoia.h:716-719)
+    a_v = jnp.where(((sf >> 1) & 1) == 1, a_v, (a_v + 255) & 255)
+    packed = (sv & _M_RGB) | (a_v << 24)
 
     valid = is_op & (npix > 0) & (pixoff < n_max)
     return valid, pixoff, packed
@@ -311,13 +262,10 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     @pl.when(t == 0)
     def _():
-        carry[_C_MAP] = _IDENT_MAP
-        carry[_C_ACNT] = 0
-        carry[_C_BRK] = 0
-        carry[_C_SEEN] = 0
+        carry[_C_MAP] = _IDENT5 if no_alpha else _IDENT6
         carry[_C_NPIX] = 0
-        carry[_C_RG] = 0
-        carry[_C_BA] = 0
+        carry[_C_VAL] = 0
+        carry[_C_FLG] = 0
         carry[_C_REF] = 0
         carry[_C_CUR] = 0
 
@@ -420,7 +368,7 @@ def decode_front_compact(data, chunks_len, n_max, no_alpha=False):
             pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((2, _L), jnp.int32),
-            pltpu.SMEM((9,), jnp.int32),
+            pltpu.SMEM((6,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
