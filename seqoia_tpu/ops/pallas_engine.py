@@ -194,10 +194,17 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
     out_ref = refs[5 + n_pay]
     wbufs = refs[6 + n_pay : 7 + 2 * n_pay]
     carry = refs[7 + 2 * n_pay]
-    sem = refs[8 + 2 * n_pay]
+    pf = refs[8 + 2 * n_pay]
+    sem = refs[9 + 2 * n_pay]
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
+
+    @pl.when((t == 0) & (bi == 0))
+    def _():
+        # window-DMA prefetch chain crosses images: init once
+        pf[0] = -1
+        pf[1] = 0
 
     @pl.when(t == 0)
     def _():
@@ -205,38 +212,62 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
             carry[j] = ini
 
     t_out = pl.num_programs(1)
-    lo = lo_ref[bi * t_out + t]
+    s_id = bi * t_out + t
+    lo = lo_ref[s_id]
     total = total_ref[bi]
     base = t * p_out
     n_scal = scal_ref.shape[0] // total_ref.shape[0]
     scal = [scal_ref[bi * n_scal + s] for s in range(n_scal)]
 
+    # --- double-buffered window DMAs: every step waits for its own
+    # windows (started by the previous step) and prefetches the next
+    # step's, hiding the load behind this tile's compute
+    srcs = [keys_ref] + list(pay_refs)
+
+    def _win_dma(i, step_bi, step_lo, slot):
+        return pltpu.make_async_copy(
+            srcs[i].at[step_bi, pl.ds(step_lo // _L, win_rows), :],
+            wbufs[i].at[slot], sem.at[slot, i],
+        )
+
+    mine = pf[1]
+
+    @pl.when(pf[0] != s_id)  # first step (or chain restart)
+    def _():
+        for i in range(1 + n_pay):
+            _win_dma(i, bi, lo, mine).start()
+
+    s_next = s_id + 1
+    other = 1 - mine
+
+    @pl.when(s_next < pl.num_programs(0) * t_out)
+    def _():
+        bn = s_next // t_out
+        lo_n = lo_ref[s_next]
+        for i in range(1 + n_pay):
+            _win_dma(i, bn, lo_n, other).start()
+
+    pf[0] = s_next
+    pf[1] = other
+
+    for i in range(1 + n_pay):
+        _win_dma(i, bi, lo, mine).wait()
+
     # fast path: no entries target this tile — output is the carried fill
     # value everywhere (sparse byte/pixel space, e.g. long runs or caps
     # larger than the actual stream)
-    @pl.when(hi_ref[bi * t_out + t] == lo)
+    @pl.when(hi_ref[s_id] == lo)
     def _():
         outs = [jnp.full((rows, _L), 0, jnp.int32) + carry[i]
                 for i in range(n_pay)]
         out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
 
-    @pl.when(hi_ref[bi * t_out + t] != lo)
+    @pl.when(hi_ref[s_id] != lo)
     def _():
-        lo_row = lo // _L
         sh = lo % _L
 
-        cps = []
-        for i, src in enumerate([keys_ref] + list(pay_refs)):
-            cp = pltpu.make_async_copy(
-                src.at[bi, pl.ds(lo_row, win_rows), :], wbufs[i], sem.at[i]
-            )
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
-
-        keys = ktools.flat_roll_left_dyn(wbufs[0][...], sh)
-        pays = [ktools.flat_roll_left_dyn(wb[...], sh) for wb in wbufs[1:]]
+        keys = ktools.flat_roll_left_dyn(wbufs[0][mine], sh)
+        pays = [ktools.flat_roll_left_dyn(wb[mine], sh) for wb in wbufs[1:]]
 
         j = ktools.iota2((win_rows, _L), 0) * _L \
             + ktools.iota2((win_rows, _L), 1)
@@ -283,10 +314,11 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, t_out, out_rows, _L), out_dtype),
         scratch_shapes=(
-            [pltpu.VMEM((win_rows, _L), jnp.int32)] * (1 + n_pay)
+            [pltpu.VMEM((2, win_rows, _L), jnp.int32)] * (1 + n_pay)
             + [
                 pltpu.SMEM((n_pay,), jnp.int32),
-                pltpu.SemaphoreType.DMA((1 + n_pay,)),
+                pltpu.SMEM((2,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 1 + n_pay)),
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

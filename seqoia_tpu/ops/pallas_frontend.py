@@ -65,8 +65,9 @@ _SWAR_HI = -0x7F7F7F80   # int32 bit pattern 0x80808080
 _M_RGB = 0x00FFFFFF
 _M_A = -16777216         # int32 bit pattern 0xFF000000
 
-# carry slots
-(_C_MAP, _C_NPIX, _C_VAL, _C_FLG, _C_REF, _C_CUR) = range(6)
+# carry slots (PF/SLOT thread the double-buffered input DMA: PF = global
+# step index whose tile is already in flight, SLOT = its buffer slot)
+(_C_MAP, _C_NPIX, _C_VAL, _C_FLG, _C_REF, _C_CUR, _C_PF, _C_SLOT) = range(8)
 
 
 def _extract(x, r, l):
@@ -242,14 +243,50 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     return valid, pixoff, packed
 
 
-def _load_tile(data_ref, dbuf, sem, bi, t):
-    """DMA the tile's uint8 rows (+halo) and convert on-chip."""
-    cp = pltpu.make_async_copy(
-        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf, sem
+def _tile_dma(data_ref, dbuf, sem, bi, t, slot):
+    return pltpu.make_async_copy(
+        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf.at[slot],
+        sem.at[slot],
     )
-    cp.start()
-    cp.wait()
-    return dbuf[0:_RH, :].astype(jnp.int32)
+
+
+def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry):
+    """Double-buffered tile load: wait for this tile's in-flight DMA
+    (started by the previous real grid step), start the next real tile's
+    DMA into the other slot, then hand back this tile's bytes as int32.
+
+    The prefetch chain follows *real* tiles only (tiles wholly past a
+    stream are skipped): the next real tile after (bi, t) is (bi, t+1)
+    while that is inside the stream, else (bi+1, 0) — tile 0 of every
+    stream is real (headers guarantee clen > 0)."""
+    t_n = pl.num_programs(1)
+    s = bi * t_n + t
+
+    mine = carry[_C_SLOT]
+
+    @pl.when(carry[_C_PF] != s)  # predecessor didn't prefetch (first tile)
+    def _():
+        _tile_dma(data_ref, dbuf, sem, bi, t, mine).start()
+
+    nxt_same = jnp.logical_and(
+        t + 1 < t_n, (t + 1) * _TILE < clen_ref[bi]
+    )
+    bn = jnp.where(nxt_same, bi, bi + 1)
+    tn = jnp.where(nxt_same, t, -1) + 1
+    other = 1 - mine
+
+    @pl.when(bn < pl.num_programs(0))
+    def _():
+        _tile_dma(data_ref, dbuf, sem, bn, tn, other).start()
+
+    carry[_C_PF] = bn * t_n + tn
+    carry[_C_SLOT] = other
+
+    pltpu.make_async_copy(
+        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf.at[mine],
+        sem.at[mine],
+    ).wait()
+    return dbuf[mine, 0:_RH, :].astype(jnp.int32)
 
 
 def _front_compact_kernel(n_max, no_alpha, *refs):
@@ -259,6 +296,12 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
+
+    @pl.when((t == 0) & (bi == 0))
+    def _():
+        # the input-DMA prefetch chain crosses images: init once
+        carry[_C_PF] = -1
+        carry[_C_SLOT] = 0
 
     @pl.when(t == 0)
     def _():
@@ -276,7 +319,7 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
     # without the skip the padding dominates icon-class buckets)
     @pl.when(t * _TILE < clen)
     def _():
-        b = _load_tile(data_ref, dbuf, sem, bi, t)
+        b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry)
         row_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
         lane_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
         pos = (t * _R + row_h) * _L + lane_h
@@ -364,12 +407,12 @@ def decode_front_compact(data, chunks_len, n_max, no_alpha=False):
             shaped((b, 8, _L)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_RH + 7, _L), jnp.uint8),
+            pltpu.VMEM((2, _RH + 7, _L), jnp.uint8),
             pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((2, _L), jnp.int32),
-            pltpu.SMEM((6,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
