@@ -53,11 +53,18 @@ _OBUF_ROWS = _R + 8      # compact staging: full tile + wrap row, DMA aligned
 _INT_MIN = -(2**31)
 
 # token automata: 5 states (skip 0-4) without modifier absorption, 6 states
-# (skip 0-5) when op lengths absorb a trailing alpha-modifier byte
-_IDENT5 = sum(e << (3 * e) for e in range(5))
+# (skip 0-5) when op lengths absorb a trailing alpha-modifier byte.
+#
+# The 5-state automaton uses a bit-packed 5x5 boolean transition matrix
+# (bit 5r+c = state r maps to c): composition is five multiply-spread
+# steps (column mask * row bits — disjoint 5-bit groups), ~25% cheaper
+# per scan stage than the base-8 digit walk. 6 states need 36 matrix bits,
+# so the alpha-capable automaton keeps the 3-bit-digit encoding.
 _IDENT6 = sum(e << (3 * e) for e in range(6))
-_BASE5 = sum((e - 1) << (3 * e) for e in range(1, 5))
 _BASE6 = sum((e - 1) << (3 * e) for e in range(1, 6))
+_IDENT5M = sum(1 << (5 * r + r) for r in range(5))
+_BASE5M = sum(1 << (5 * r + (r - 1)) for r in range(1, 5))
+_COL5 = sum(1 << (5 * r) for r in range(5))  # 0x108421
 
 # SWAR byte-lane arithmetic over packed r|g<<8|b<<16|a<<24
 _SWAR_LO = 0x7F7F7F7F
@@ -101,6 +108,18 @@ def _compose_scalar(left, right, ns):
         fe = (left >> (3 * e)) & 7
         he = (right >> (3 * fe)) & 7
         out = out | (he << (3 * e))
+    return out
+
+
+def _compose_mat5(left, right):
+    """Boolean 5x5 matrix product C[r,c] = OR_m L[r,m] & R[m,c].
+
+    Each map is a function, so column masks have one bit per row group;
+    (column-m bits at positions 5r) * (row m of R, 5 bits) spreads R's
+    row into disjoint 5-bit groups — no carries, OR accumulates."""
+    out = left * 0
+    for m in range(5):
+        out = out | (((left >> m) & _COL5) * ((right >> (5 * m)) & 31))
     return out
 
 
@@ -152,19 +171,27 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     # alpha-range bytes that are NOT token starts. This replaces round 2's
     # alternation machinery (alpha-count scan + segmented fill).
     if no_alpha:
-        ns, ident, base = 5, _IDENT5, _BASE5
         lens2 = lens
     else:
-        ns, ident, base = 6, _IDENT6, _BASE6
         isalpha = (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
-        ia = isalpha.astype(jnp.int32)
+        # one shift chain serves both the length extension (bit 0) and the
+        # absorbed modifier's delta (bits 8-12, biased +16)
+        combo = jnp.where(isalpha, 1 | ((b & 0x1F) << 8), 0)
         ext = jnp.zeros_like(b)
+        att = jnp.zeros_like(b)
         for k in (1, 2, 4, 5):
-            ext = ext + jnp.where(lens == k, _shift_flat_left(ia, k), 0)
+            ck = jnp.where(lens == k, _shift_flat_left(combo, k), 0)
+            ext = ext + (ck & 1)
+            att = att + (ck & 1) * (((ck >> 8) & 31) - 16)
         lens2 = lens + ext
     eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2, 1)
-    maps = (eff_lens - 1) + base
-    comp = functools.partial(_compose_maps, ns=ns)
+    if no_alpha:
+        maps = _BASE5M | (1 << (eff_lens - 1))
+        comp, ident = _compose_mat5, _IDENT5M
+    else:
+        maps = (eff_lens - 1) + _BASE6
+        comp = functools.partial(_compose_maps, ns=6)
+        ident = _IDENT6
     incl = ktools.lane_row_scan(maps, comp, ident)
     # excl[i] = composition of maps[0..i-1] within the tile: roll by one in
     # flat order (lane 0 takes previous row's lane 127)
@@ -173,12 +200,25 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
         jnp.where(row >= 1, pltpu.roll(pltpu.roll(incl, 1, 1), 1, 0),
                   ident),
     )
-    e0 = carry[_C_MAP] & 7
-    state = (excl >> (3 * e0)) & 7
-    token = (state == 0) & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
+    cm = carry[_C_MAP]
+    if no_alpha:
+        # entry state = the set bit's index in the carried matrix's row 0
+        row0 = cm & 31
+        e0 = (
+            ((row0 >> 1) & 1) + ((row0 >> 2) & 1) * 2
+            + ((row0 >> 3) & 1) * 3 + ((row0 >> 4) & 1) * 4
+        )
+        token = ((excl >> (5 * e0)) & 1) == 1
+    else:
+        e0 = cm & 7
+        token = ((excl >> (3 * e0)) & 7) == 0
+    token = token & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
 
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
-    carry[_C_MAP] = _compose_scalar(carry[_C_MAP], tile_map, ns)
+    if no_alpha:
+        carry[_C_MAP] = _compose_mat5(cm, tile_map)
+    else:
+        carry[_C_MAP] = _compose_scalar(cm, tile_map, 6)
 
     # foreign-stream flag: REF range always; in alpha-less sources (header
     # channels==3) the encoder never emits ALPHA modifiers either (va==0
@@ -211,14 +251,9 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
     a_el = jnp.where(anchor_a, b4, 0)
     if not no_alpha:
-        # each op's absorbed modifier sits lens bytes after the op start
-        mod_delta = jnp.where(isalpha, (b & 0x1F) - 16, 0)
-        attached = jnp.zeros_like(b)
-        for k in (1, 2, 4, 5):
-            attached = attached + jnp.where(
-                lens == k, _shift_flat_left(mod_delta, k), 0
-            )
-        a_el = a_el + jnp.where(is_op, attached, 0)
+        # each op's absorbed modifier sits lens bytes after the op start:
+        # `att` (from the combo shift chain above) carries its delta
+        a_el = a_el + jnp.where(is_op, att, 0)
 
     # one segmented SWAR scan over all four channels (round 2 ran two
     # 16-bit-packed pair scans)
@@ -305,7 +340,7 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     @pl.when(t == 0)
     def _():
-        carry[_C_MAP] = _IDENT5 if no_alpha else _IDENT6
+        carry[_C_MAP] = _IDENT5M if no_alpha else _IDENT6
         carry[_C_NPIX] = 0
         carry[_C_VAL] = 0
         carry[_C_FLG] = 0
