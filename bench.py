@@ -430,10 +430,52 @@ def main():
             return native.encode(p, w, h, ch, 0, 1)
 
         workers = os.cpu_count() or 8
-        with ThreadPoolExecutor(workers) as ex:
+        if workers <= 1:
             t0 = time.perf_counter()
-            list(ex.map(qenc, hs_items))
+            for it in hs_items:
+                qenc(it)
             q_enc_t = time.perf_counter() - t0
+        else:
+            with ThreadPoolExecutor(workers) as ex:
+                t0 = time.perf_counter()
+                list(ex.map(qenc, hs_items))
+                q_enc_t = time.perf_counter() - t0
+
+        # on-box reference speeds: the genuine reference header, compiled
+        # from its read-only mount and timed on this host's core, is the
+        # apples-to-apples bar — the published 244.82/190.69 Mpx/s are an
+        # Apple M1 core (bench10.txt:122), not this machine
+        ref_onbox = {}
+        try:
+            import ctypes as _ct
+            import subprocess as _sp
+
+            _sp.run(
+                ["cc", "-O3", "-std=c11", "-shared", "-fPIC", "-w",
+                 "-o", "/tmp/librefprobe_bench.so",
+                 '-DSQOA_REFERENCE_HEADER="/root/reference/seqoia.h"',
+                 os.path.join(here, "tools", "refprobe.c")],
+                check=True, capture_output=True)
+            _lib = _ct.CDLL("/tmp/librefprobe_bench.so")
+            _u8p = _ct.POINTER(_ct.c_uint8)
+            _u32p = _ct.POINTER(_ct.c_uint32)
+            _lib.ref_decode.restype = _ct.c_int64
+            _lib.ref_decode.argtypes = [_u8p, _ct.c_int64, _ct.c_int, _u8p,
+                                        _ct.c_int64, _u32p]
+            _lib.ref_encode.restype = _ct.c_int64
+            _out = np.empty(256_000_000, np.uint8)
+            _dsc = np.zeros(5, np.uint32)
+            _bufs = [np.frombuffer(bytearray(q), np.uint8)
+                     for _, q in hs_items]
+            t0 = time.perf_counter()
+            for _b in _bufs:
+                _lib.ref_decode(_b.ctypes.data_as(_u8p), len(_b), 0,
+                                _out.ctypes.data_as(_u8p), len(_out),
+                                _dsc.ctypes.data_as(_u32p))
+            ref_onbox["qoi_ref_onbox_decode_mpxs"] = round(
+                hs_px / (time.perf_counter() - t0) / 1e6, 1)
+        except Exception:  # cc missing etc — the numbers are optional
+            pass
 
         # TPU fixpoint decode over every color bucket (device-resident,
         # same methodology as the sqoa numbers); unconverged rows would
@@ -557,7 +599,11 @@ def main():
             "qoi_tpu_encode_parity_n": qe_parity,
             "qoi_host_parity_n": q_dec_ok,
             "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
+            **ref_onbox,
         }
+        if "qoi_ref_onbox_decode_mpxs" in ref_onbox:
+            qoi["qoi_decode_vs_ref_onbox"] = round(
+                best_dec / ref_onbox["qoi_ref_onbox_decode_mpxs"], 2)
         del qe_plans
 
     gc.collect()

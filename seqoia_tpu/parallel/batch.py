@@ -193,6 +193,13 @@ class BatchDecoder:
             return i, DecodeResult(pix, spec.SqoaDesc(*d))
 
         workers = min(len(items), os.cpu_count() or 8)
+        if workers <= 1:
+            # single-core host: the pool only adds GIL ping-pong (~20%
+            # measured); run the ctypes loop inline
+            for it in items:
+                i, r = host_decode(it)
+                results[i] = r
+            return
         with ThreadPoolExecutor(workers) as ex:
             for i, r in ex.map(host_decode, items):
                 results[i] = r
@@ -259,6 +266,11 @@ class BatchEncoder:
                         desc.height, desc.channels, desc.colorspace, 1,
                     )
 
+                if (os.cpu_count() or 8) <= 1:
+                    for it in items:
+                        i, data = host_encode(it)
+                        results[i] = data
+                    continue
                 with ThreadPoolExecutor(
                     min(len(items), os.cpu_count() or 8)
                 ) as ex:
