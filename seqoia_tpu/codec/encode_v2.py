@@ -48,8 +48,13 @@ def _emit_inits(colch):
 
 
 def _emit_payloads(pays_c, keys_c):
-    """Payload list handed to place_emit for the fused encode path."""
-    return list(pays_c) + [keys_c]
+    """Payload list handed to place_emit for the fused encode path.
+
+    The byte-offset stream is NOT duplicated as a payload: place_emit's
+    fill_keys=True synthesizes the filled offsets from each entry's
+    expanded slot (one fewer stream through the window DMAs and the
+    expand butterfly); _emit_inits' last element is its fill init."""
+    return list(pays_c)
 
 
 def _pack_meta(pending, cls, vg, vg_r, vg_b, va):
@@ -271,6 +276,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
             _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
+            fill_keys=True,
         )
         return out, total
 
@@ -571,6 +577,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
+            fill_keys=True,
         )[0]
         return out, total
 
@@ -657,6 +664,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             _emit_inits(colch),
             _emit_epilogue(colch),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
+            fill_keys=True,
         )[0]
         return out, total
     else:

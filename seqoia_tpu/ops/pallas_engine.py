@@ -183,8 +183,9 @@ def compact(valid, key, payloads):
 # ---------------------------------------------------------------------------
 
 def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
-                       out_rows, out_dtype, *refs):
+                       out_rows, out_dtype, fill_keys, *refs):
     rows = p_out // _L
+    n_fill = n_pay + (1 if fill_keys else 0)
     lo_ref = refs[0]
     hi_ref = refs[1]
     total_ref = refs[2]
@@ -259,7 +260,7 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
     @pl.when(hi_ref[s_id] == lo)
     def _():
         outs = [jnp.full((rows, _L), 0, jnp.int32) + carry[i]
-                for i in range(n_pay)]
+                for i in range(n_fill)]
         out_ref[0, 0] = epilogue(outs, base, scal).astype(out_dtype)
 
     @pl.when(hi_ref[s_id] != lo)
@@ -279,9 +280,14 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
 
         f = (d >= 0).astype(jnp.int32)
         vals = [jnp.where(f != 0, p, 0) for p in pays]
+        if fill_keys:
+            # the key of an entry sitting at expanded slot tau is
+            # base + tau by construction: synthesize it instead of
+            # moving a duplicate keys payload through the butterfly
+            vals.append(jnp.where(f != 0, base + j, 0))
         filled, ff = ktools.fill_scan_multi(vals, f)
         outs = []
-        for i in range(n_pay):
+        for i in range(n_fill):
             out_v = jnp.where(ff != 0, filled[i], carry[i])
             outs.append(out_v[0:rows, :])
             carry[i] = ktools.extract(out_v, rows - 1, _L - 1)
@@ -291,15 +297,17 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
 
 @functools.partial(
     jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
-                              "inits", "epilogue", "out_rows", "out_dtype")
+                              "inits", "epilogue", "out_rows", "out_dtype",
+                              "fill_keys")
 )
 def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
-                     win_rows, nbits, inits, epilogue, out_rows, out_dtype):
+                     win_rows, nbits, inits, epilogue, out_rows, out_dtype,
+                     fill_keys):
     b = keys.shape[0]
     t_out = n_out // p_out
     kern = functools.partial(
         _place_emit_kernel, n_pay, p_out, win_rows, nbits, inits, epilogue,
-        out_rows, out_dtype,
+        out_rows, out_dtype, fill_keys,
     )
     sca = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -316,7 +324,7 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
         scratch_shapes=(
             [pltpu.VMEM((2, win_rows, _L), jnp.int32)] * (1 + n_pay)
             + [
-                pltpu.SMEM((n_pay,), jnp.int32),
+                pltpu.SMEM((n_pay + (1 if fill_keys else 0),), jnp.int32),
                 pltpu.SMEM((2,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2, 1 + n_pay)),
             ]
@@ -332,7 +340,8 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
 
 
 def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
-               p_out=4096, out_rows=None, out_dtype=jnp.uint8):
+               p_out=4096, out_rows=None, out_dtype=jnp.uint8,
+               fill_keys=False):
     """place_fill fused with an emission epilogue.
 
     Same placement/fill semantics as ``place_fill``, but instead of
@@ -342,7 +351,12 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     (out_rows defaults to the p_out//128 placement rows; a different value
     lets the epilogue change the per-tile output geometry, e.g. the
     RGB-interleave emitting 3 output bytes per pixel). ``epilogue`` must
-    be a hashable static callable; ``scalars`` is (B, S) int32."""
+    be a hashable static callable; ``scalars`` is (B, S) int32.
+
+    fill_keys=True appends a forward-filled copy of the governing entry's
+    KEY to the epilogue's filled list (inits must carry its init as the
+    extra last element) — synthesized in-kernel from each entry's
+    expanded slot, so no duplicate keys payload rides the butterfly."""
     payloads = list(payloads)
     b, mc = keys.shape
     assert n_out % p_out == 0
@@ -364,7 +378,7 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     return _place_emit_call(
         lo, hi, totals, scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
-        out_rows, out_dtype,
+        out_rows, out_dtype, fill_keys,
     )
 
 def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):

@@ -231,7 +231,7 @@ def main():
             fn = jax.jit(functools.partial(
                 pallas_engine.place_emit, n_out=cap,
                 inits=encode_v2._emit_inits(3),
-                epilogue=encode_v2._emit_epilogue(3),
+                epilogue=encode_v2._emit_epilogue(3), fill_keys=True,
                 p_out=next(p for p in (32768, 16384, 8192, 4096, 2048)
                            if cap % p == 0)))
             eplace.append(
