@@ -203,6 +203,7 @@ def decode_stream_compat_batched(data, chunks_len, n_pixels, *, colch,
             keys_p, [px_p], n_ops, n_max, (_INIT_PACKED,),
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048)
                        if n_max % p == 0),
+            max_gap=spec.QOI_MAXRUN - 1,  # a QOI op covers <= 62 px
         )[0]
     else:
         rows = jnp.arange(bsz, dtype=jnp.int32)[:, None]

@@ -229,6 +229,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
                 keys_c, pays_c, totals, n_pixels[:, None], n_max, (init,),
                 _dec_epilogue(out_ch), p_out=p_out, out_rows=out_rows,
                 out_dtype=jnp.int32,
+                max_gap=spec.SQOA_MAXRUN - 1,  # an op covers <= MAXRUN px
             )
             if emit == "words":
                 return words, ref_flag != 0
@@ -237,6 +238,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
             return out, ref_flag != 0
         filled = pallas_engine.place_fill(
             keys_c, pays_c, totals, n_max, (init,), p_out=p_out,
+            max_gap=spec.SQOA_MAXRUN - 1,
         )[0]
         out = _emit_pixels(filled, n_pixels, colch, out_ch, n_max)
         return _maybe_words(out, emit), ref_flag != 0
@@ -260,6 +262,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
             p_out=4096 if n_max % 4096 == 0 else 2048,
+            max_gap=spec.SQOA_MAXRUN - 1,
         )[0]
     else:
         # XLA fallback: monotone unique scatter + log-shift forward fill;
@@ -391,6 +394,7 @@ def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
             keys_c, pays_c, totals, n_max,
             (int(np.int32(np.uint32(255 << 24))),),
             p_out=4096 if n_max % 4096 == 0 else 2048,
+            max_gap=spec.SQOA_MAXRUN - 1,
         )[0][0]
     else:
         idx_b = jnp.arange(m, dtype=jnp.int32)

@@ -275,6 +275,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
             keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
             _emit_inits(colch),
             _emit_epilogue(colch),
+            max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
             fill_keys=True,
         )
@@ -383,7 +384,9 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
                 keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal,
                 out_cap, _emit_inits(colch),
                 _emit_epilogue(colch),
+                max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
                 p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
+                fill_keys=True,
             )
             return out, total
         cur_f, meta_f, off_f = pallas_engine.place_fill(
@@ -576,6 +579,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
             _emit_inits(colch),
             _emit_epilogue(colch),
+            max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
             fill_keys=True,
         )[0]
@@ -663,6 +667,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             keys_c, _emit_payloads(pays_c, keys_c), totals_c, scal, out_cap,
             _emit_inits(colch),
             _emit_epilogue(colch),
+            max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
             fill_keys=True,
         )[0]

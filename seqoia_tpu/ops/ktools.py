@@ -176,15 +176,29 @@ def lane_row_scan(vals, combine, identity):
     return combine(ex, x)
 
 
-def fill_scan_multi(vals_list, flags):
+def fill_scan_multi(vals_list, flags, max_gap=None):
     """Joint inclusive forward-fill of several payloads sharing one flag
-    array over flat row-major (rows, L). Returns (filled_list, flags_out)."""
+    array over flat row-major (rows, L). Returns (filled_list, flags_out).
+
+    max_gap (static) bounds the distance from any position to its
+    governing flag WITHIN the live region (positions whose governing flag
+    is farther, or absent, get flags_out == 0 — callers must treat those
+    as "before first flag", which is exact when they are masked anyway).
+    The stage count drops from log2(rows * L) to log2(max_gap): the codec
+    knows its gaps (decode: a run covers at most SQOA_MAXRUN pixels;
+    encode: an emitting pixel writes at most 14 bytes)."""
     rows = flags.shape[0]
     lane = iota2(flags.shape, 1)
     row = iota2(flags.shape, 0)
+    if max_gap is None:
+        lane_lim, row_lim = _L, rows
+    else:
+        npow2 = lambda x: 1 << max(x - 1, 0).bit_length()  # next pow2 >= x
+        lane_lim = min(_L, npow2(max_gap + 1))  # lane reach lane_lim-1
+        row_lim = min(rows, npow2(-(-max_gap // _L)))  # row reach row_lim
     vs, f = list(vals_list), flags
     k = 1
-    while k < _L:
+    while k < lane_lim:
         fs = jnp.where(lane >= k, pltpu.roll(f, k, 1), 0)
         vs = [
             jnp.where(f != 0, v, jnp.where(lane >= k, pltpu.roll(v, k, 1), 0))
@@ -197,7 +211,7 @@ def fill_scan_multi(vals_list, flags):
     fp = jnp.where(row >= 1, pltpu.roll(fa, 1, 0), 0)
     vps = [jnp.where(row >= 1, pltpu.roll(va, 1, 0), 0) for va in vas]
     k = 1
-    while k < rows:
+    while k < row_lim:
         fs = jnp.where(row >= k, pltpu.roll(fp, k, 0), 0)
         vps = [
             jnp.where(fp != 0, vp, jnp.where(row >= k, pltpu.roll(vp, k, 0), 0))

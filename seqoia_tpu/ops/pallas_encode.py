@@ -175,15 +175,23 @@ def _front_tile_body(colch, refs, bi, t, nv):
         | ((va != 0).astype(jnp.int32) << 31)
     )
 
-    tl_incl = ktools.lane_row_scan(total_len, lambda a, c: a + c, 0)
-    offsets = tl_incl - total_len + carry[_C_OFF]
-
     # --- compact the emitting pixels + append at the exact cursor ----------
+    # d's bits 0..14 are the move distance; bits 16..19 carry the entry's
+    # emitted byte count (total_len <= 9 run bytes + 5 op bytes = 14)
+    # THROUGH the butterfly. Byte offsets (the keys) come from one
+    # post-network prefix sum over the compacted lengths — one fewer
+    # payload riding all 15 stages, and no pixel-space offset scan.
     emit = (total_len > 0).astype(jnp.int32)
     incl = ktools.lane_row_scan(emit, lambda a, c: a + c, 0)
     n_here = ktools.extract(incl, _ROWS - 1, _L - 1)
-    d = jnp.where(emit != 0, flat - (incl - emit), -1)
-    d, srcs = ktools.butterfly_compact(d, [offsets, px, meta], 15)
+    d = jnp.where(
+        emit != 0, (flat - (incl - emit)) | (total_len << 16), -1
+    )
+    d, (px_c, meta_c) = ktools.butterfly_compact(d, [px, meta], 15)
+    tl_c = jnp.where(d >= 0, d >> 16, 0)
+    off_incl = ktools.lane_row_scan(tl_c, lambda a, c: a + c, 0)
+    offsets_c = off_incl - tl_c + carry[_C_OFF]
+    srcs = [offsets_c, px_c, meta_c]
 
     sh = carry[_C_CURSOR] % _L
     row = ktools.iota2((_ROWS, _L), 0)
@@ -212,7 +220,7 @@ def _front_tile_body(colch, refs, bi, t, nv):
     for cp in cps:
         cp.wait()
     carry[_C_CURSOR] = end
-    carry[_C_OFF] = carry[_C_OFF] + ktools.extract(tl_incl, _ROWS - 1, _L - 1)
+    carry[_C_OFF] = carry[_C_OFF] + ktools.extract(off_incl, _ROWS - 1, _L - 1)
 
     # prev-pixel / last-change carries for the next tile
     last_local = jnp.clip(nv - 1 - t * _TILE, 0, _TILE - 1)

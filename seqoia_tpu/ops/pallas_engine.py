@@ -183,7 +183,7 @@ def compact(valid, key, payloads):
 # ---------------------------------------------------------------------------
 
 def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
-                       out_rows, out_dtype, fill_keys, *refs):
+                       out_rows, out_dtype, fill_keys, max_gap, *refs):
     rows = p_out // _L
     n_fill = n_pay + (1 if fill_keys else 0)
     lo_ref = refs[0]
@@ -285,7 +285,7 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
             # base + tau by construction: synthesize it instead of
             # moving a duplicate keys payload through the butterfly
             vals.append(jnp.where(f != 0, base + j, 0))
-        filled, ff = ktools.fill_scan_multi(vals, f)
+        filled, ff = ktools.fill_scan_multi(vals, f, max_gap)
         outs = []
         for i in range(n_fill):
             out_v = jnp.where(ff != 0, filled[i], carry[i])
@@ -298,16 +298,16 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
 @functools.partial(
     jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
                               "inits", "epilogue", "out_rows", "out_dtype",
-                              "fill_keys")
+                              "fill_keys", "max_gap")
 )
 def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
                      win_rows, nbits, inits, epilogue, out_rows, out_dtype,
-                     fill_keys):
+                     fill_keys, max_gap):
     b = keys.shape[0]
     t_out = n_out // p_out
     kern = functools.partial(
         _place_emit_kernel, n_pay, p_out, win_rows, nbits, inits, epilogue,
-        out_rows, out_dtype, fill_keys,
+        out_rows, out_dtype, fill_keys, max_gap,
     )
     sca = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -341,7 +341,7 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
 
 def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
                p_out=4096, out_rows=None, out_dtype=jnp.uint8,
-               fill_keys=False):
+               fill_keys=False, max_gap=None):
     """place_fill fused with an emission epilogue.
 
     Same placement/fill semantics as ``place_fill``, but instead of
@@ -378,10 +378,10 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     return _place_emit_call(
         lo, hi, totals, scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
-        out_rows, out_dtype, fill_keys,
+        out_rows, out_dtype, fill_keys, max_gap,
     )
 
-def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):
+def _place_kernel(n_pay, p_out, win_rows, nbits, inits, max_gap, *refs):
     rows = p_out // _L
     lo_ref = refs[0]
     total_ref = refs[1]
@@ -429,7 +429,7 @@ def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):
 
     f = (d >= 0).astype(jnp.int32)
     vals = [jnp.where(f != 0, p, 0) for p in pays]
-    filled, ff = ktools.fill_scan_multi(vals, f)
+    filled, ff = ktools.fill_scan_multi(vals, f, max_gap)
     for i in range(n_pay):
         cv = carry[i]
         out_v = jnp.where(ff != 0, filled[i], cv)
@@ -439,15 +439,15 @@ def _place_kernel(n_pay, p_out, win_rows, nbits, inits, *refs):
 
 @functools.partial(
     jax.jit, static_argnames=("n_pay", "n_out", "p_out", "win_rows", "nbits",
-                              "inits")
+                              "inits", "max_gap")
 )
 def _place_fill_call(lo, totals, keys, pays, n_pay, n_out, p_out, win_rows,
-                     nbits, inits):
+                     nbits, inits, max_gap):
     b = keys.shape[0]
     t_out = n_out // p_out
     rows = p_out // _L
     kern = functools.partial(
-        _place_kernel, n_pay, p_out, win_rows, nbits, inits
+        _place_kernel, n_pay, p_out, win_rows, nbits, inits, max_gap
     )
     sca = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -480,7 +480,8 @@ def _place_fill_call(lo, totals, keys, pays, n_pay, n_out, p_out, win_rows,
     return [o.reshape(b, n_out) for o in outs]
 
 
-def place_fill(keys, payloads, totals, n_out, inits, p_out=4096):
+def place_fill(keys, payloads, totals, n_out, inits, p_out=4096,
+               max_gap=None):
     """Dense forward-filled placement of compacted monotone streams.
 
     keys: (B, Mc) int32 — strictly increasing valid prefix (totals[b]
@@ -508,5 +509,5 @@ def place_fill(keys, payloads, totals, n_out, inits, p_out=4096):
     lo = jnp.minimum(lo, mc - win_rows * _L)
     return _place_fill_call(
         lo, totals, masked, tuple(payloads),
-        len(payloads), n_out, p_out, win_rows, nbits, tuple(inits),
+        len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), max_gap,
     )

@@ -52,19 +52,24 @@ _OBUF_ROWS = _R + 8      # compact staging: full tile + wrap row, DMA aligned
 
 _INT_MIN = -(2**31)
 
-# token automata: 5 states (skip 0-4) without modifier absorption, 6 states
+# token automata: 4 states (skip 0-3) without modifier absorption, 6 states
 # (skip 0-5) when op lengths absorb a trailing alpha-modifier byte.
 #
-# The 5-state automaton uses a bit-packed 5x5 boolean transition matrix
-# (bit 5r+c = state r maps to c): composition is five multiply-spread
-# steps (column mask * row bits — disjoint 5-bit groups), ~25% cheaper
-# per scan stage than the base-8 digit walk. 6 states need 36 matrix bits,
-# so the alpha-capable automaton keeps the 3-bit-digit encoding.
+# The alpha-less automaton uses a bit-packed 4x4 boolean transition matrix
+# (bit 4r+c = state r maps to c): composition is four multiply-spread
+# steps (column mask * row bits — disjoint 4-bit groups), cheaper per scan
+# stage than the base-8 digit walk. Four states suffice because a
+# 3-channel SQOA stream never contains OP_RGBA (the encoder emits RGBA
+# only when alpha changes, seqoia.h:616-634, and alpha-less sources have
+# va == 0 everywhere): token lengths are {1, 2, 4}, and any RGBA byte that
+# does parse as a token start flags the stream foreign (host fallback),
+# same as alpha-range tokens. 6 states need 36 matrix bits, so the
+# alpha-capable automaton keeps the 3-bit-digit encoding.
 _IDENT6 = sum(e << (3 * e) for e in range(6))
 _BASE6 = sum((e - 1) << (3 * e) for e in range(1, 6))
-_IDENT5M = sum(1 << (5 * r + r) for r in range(5))
-_BASE5M = sum(1 << (5 * r + (r - 1)) for r in range(1, 5))
-_COL5 = sum(1 << (5 * r) for r in range(5))  # 0x108421
+_IDENT4M = sum(1 << (4 * r + r) for r in range(4))
+_BASE4M = sum(1 << (4 * r + (r - 1)) for r in range(1, 4))
+_COL4 = sum(1 << (4 * r) for r in range(4))  # 0x1111
 
 # SWAR byte-lane arithmetic over packed r|g<<8|b<<16|a<<24
 _SWAR_LO = 0x7F7F7F7F
@@ -111,15 +116,15 @@ def _compose_scalar(left, right, ns):
     return out
 
 
-def _compose_mat5(left, right):
-    """Boolean 5x5 matrix product C[r,c] = OR_m L[r,m] & R[m,c].
+def _compose_mat4(left, right):
+    """Boolean 4x4 matrix product C[r,c] = OR_m L[r,m] & R[m,c].
 
     Each map is a function, so column masks have one bit per row group;
-    (column-m bits at positions 5r) * (row m of R, 5 bits) spreads R's
-    row into disjoint 5-bit groups — no carries, OR accumulates."""
+    (column-m bits at positions 4r) * (row m of R, 4 bits) spreads R's
+    row into disjoint 4-bit groups — no carries, OR accumulates."""
     out = left * 0
-    for m in range(5):
-        out = out | (((left >> m) & _COL5) * ((right >> (5 * m)) & 31))
+    for m in range(4):
+        out = out | (((left >> m) & _COL4) * ((right >> (4 * m)) & 15))
     return out
 
 
@@ -132,21 +137,27 @@ def _chan_combine(ls, rs):
     """Segmented per-byte modular sum over (value, flags) pairs.
 
     flags bit 0: rgb bytes are absolute (RGB/RGBA anchor resets r,g,b);
-    flags bit 1: a byte is absolute (RGBA anchor resets a)."""
+    flags bit 1: a byte is absolute (RGBA anchor resets a). Bits 2+ carry
+    an ordinary prefix COUNT (seeded with the op mask), so the compaction
+    rank rides this scan instead of running its own — the adds can't carry
+    into the flag bits because both low bits are masked off first."""
     lv, lf = ls
     rv, rf = rs
     s = _swar_add(lv, rv)
     m = (rf & 1) * _M_RGB | ((rf >> 1) & 1) * _M_A
-    return [(rv & m) | (s & ~m), lf | rf]
+    return [(rv & m) | (s & ~m), ((lf | rf) & 3) | ((lf & ~3) + (rf & ~3))]
 
 
-def _front_body(n_max, no_alpha, b, pos, clen, carry):
+def _front_body(no_alpha, b, pos, clen, carry):
     """Shared front-end compute over one byte tile.
 
     b: (RH, L) int32 byte values (halo row included); pos: global byte
     positions; carry: SMEM scalar carries (updated in place). Returns
-    (valid, pixoff, packed) over the full (RH, L) tile — callers slice
-    the real _R rows."""
+    (is_op, npix, packed, op_rank_incl) over the full (RH, L) tile —
+    callers slice the real _R rows. Pixel offsets are NOT computed here:
+    the fused kernel routes npix through the compaction butterfly (packed
+    into d's high bits) and prefix-sums the compacted npix instead, which
+    drops both a full pixel-space scan and a butterfly payload."""
     row = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
 
@@ -171,7 +182,12 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     # alpha-range bytes that are NOT token starts. This replaces round 2's
     # alternation machinery (alpha-count scan + segmented fill).
     if no_alpha:
-        lens2 = lens
+        # RGBA is foreign here (see automaton comment): treat it as len 1
+        # so lengths stay in {1, 2, 4} and the matrix needs only 4 states.
+        # The stream's output is discarded anyway (host fallback) — only
+        # the foreign DETECTION must be sound, and the automaton parses
+        # correctly up to and including the first RGBA token.
+        lens2 = 1 + jnp.where(is_luma, 1, 0) + jnp.where(is_rgb, 3, 0)
     else:
         isalpha = (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
         # one shift chain serves both the length extension (bit 0) and the
@@ -186,8 +202,8 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
         lens2 = lens + ext
     eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2, 1)
     if no_alpha:
-        maps = _BASE5M | (1 << (eff_lens - 1))
-        comp, ident = _compose_mat5, _IDENT5M
+        maps = _BASE4M | (1 << (eff_lens - 1))
+        comp, ident = _compose_mat4, _IDENT4M
     else:
         maps = (eff_lens - 1) + _BASE6
         comp = functools.partial(_compose_maps, ns=6)
@@ -203,12 +219,12 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
     cm = carry[_C_MAP]
     if no_alpha:
         # entry state = the set bit's index in the carried matrix's row 0
-        row0 = cm & 31
+        row0 = cm & 15
         e0 = (
             ((row0 >> 1) & 1) + ((row0 >> 2) & 1) * 2
-            + ((row0 >> 3) & 1) * 3 + ((row0 >> 4) & 1) * 4
+            + ((row0 >> 3) & 1) * 3
         )
-        token = ((excl >> (5 * e0)) & 1) == 1
+        token = ((excl >> (4 * e0)) & 1) == 1
     else:
         e0 = cm & 7
         token = ((excl >> (3 * e0)) & 7) == 0
@@ -216,30 +232,30 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
 
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
     if no_alpha:
-        carry[_C_MAP] = _compose_mat5(cm, tile_map)
+        carry[_C_MAP] = _compose_mat4(cm, tile_map)
     else:
         carry[_C_MAP] = _compose_scalar(cm, tile_map, 6)
 
     # foreign-stream flag: REF range always; in alpha-less sources (header
-    # channels==3) the encoder never emits ALPHA modifiers either (va==0
-    # always, seqoia.h:616-618), so any alpha-range token flags too
-    foreign_lim = spec.OP_LUMA if no_alpha else spec.OP_ALPHA
+    # channels==3) the encoder never emits ALPHA modifiers (va==0 always,
+    # seqoia.h:616-618) nor RGBA ops, so any alpha-range or RGBA token
+    # flags too (the 4-state automaton mis-lengths RGBA past this point)
+    if no_alpha:
+        foreign = (b < spec.OP_LUMA) | is_rgba
+    else:
+        foreign = b < spec.OP_ALPHA
     carry[_C_REF] = carry[_C_REF] | jnp.max(
-        jnp.where(token & (b < foreign_lim) & (row < _R), 1, 0)
+        jnp.where(token & foreign & (row < _R), 1, 0)
     )
     is_op = token
 
-    # --- pixel counts + offsets ----------------------------------------------
+    # --- pixel counts (offsets are prefix-summed post-compaction) -----------
     # any unmatched byte is a run of (b&0x3f)+1 (the dispatch's final else,
     # seqoia.h:773-775) — including alpha-range bytes fetched as ops
     npix = (b & 0x3F) + 1
     npix = jnp.where(is_luma | is_rgb | is_rgba, 1, npix)
     npix = jnp.where(b == spec.OP_BIGRUN, spec.SQOA_MAXRUN, npix)
     npix = jnp.where(b < spec.OP_ALPHA, 1, npix)  # REF: fallback anyway
-    npix = jnp.where(is_op, npix, 0)
-    pix_incl = ktools.lane_row_scan(npix, lambda a, c: a + c, 0)
-    pixoff = pix_incl - npix + carry[_C_NPIX]
-    carry[_C_NPIX] = carry[_C_NPIX] + _extract(pix_incl, _R - 1, _L - 1)
 
     # --- channel elements -----------------------------------------------------
     vg = (b & 0x3F) - 32
@@ -256,26 +272,29 @@ def _front_body(n_max, no_alpha, b, pos, clen, carry):
         a_el = a_el + jnp.where(is_op, att, 0)
 
     # one segmented SWAR scan over all four channels (round 2 ran two
-    # 16-bit-packed pair scans)
+    # 16-bit-packed pair scans); the flag word's bits 2+ double as the
+    # op-rank prefix count for the compaction butterfly
     val = (
         (r_el & 255) | ((g_el & 255) << 8)
         | ((b_el & 255) << 16) | ((a_el & 255) << 24)
     )
-    flg = anchor_rgb.astype(jnp.int32) | (anchor_a.astype(jnp.int32) << 1)
+    flg = (
+        anchor_rgb.astype(jnp.int32) | (anchor_a.astype(jnp.int32) << 1)
+        | (is_op.astype(jnp.int32) << 2)
+    )
     sv, sf = ktools.lane_row_scan_multi([val, flg], _chan_combine, [0, 0])
     cv = jnp.full((_RH, _L), carry[_C_VAL], jnp.int32)
     cf = jnp.full((_RH, _L), carry[_C_FLG], jnp.int32)
     sv, sf = _chan_combine([cv, cf], [sv, sf])
     carry[_C_VAL] = _extract(sv, _R - 1, _L - 1)
-    carry[_C_FLG] = _extract(sf, _R - 1, _L - 1)
+    carry[_C_FLG] = _extract(sf, _R - 1, _L - 1) & 3
 
     a_v = (sv >> 24) & 255
     # alpha starts at 255 until the first RGBA anchor (seqoia.h:716-719)
     a_v = jnp.where(((sf >> 1) & 1) == 1, a_v, (a_v + 255) & 255)
     packed = (sv & _M_RGB) | (a_v << 24)
 
-    valid = is_op & (npix > 0) & (pixoff < n_max)
-    return valid, pixoff, packed
+    return is_op, npix, packed, sf >> 2
 
 
 def _tile_dma(data_ref, dbuf, sem, bi, t, slot):
@@ -340,7 +359,7 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     @pl.when(t == 0)
     def _():
-        carry[_C_MAP] = _IDENT5M if no_alpha else _IDENT6
+        carry[_C_MAP] = _IDENT4M if no_alpha else _IDENT6
         carry[_C_NPIX] = 0
         carry[_C_VAL] = 0
         carry[_C_FLG] = 0
@@ -359,19 +378,36 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
         lane_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
         pos = (t * _R + row_h) * _L + lane_h
 
-        valid, pixoff, packed = _front_body(
-            n_max, no_alpha, b, pos, clen, carry
+        is_op, npix, packed, opcnt = _front_body(
+            no_alpha, b, pos, clen, carry
         )
 
         # --- in-kernel compaction + append (mirrors pallas_encode) ----------
-        v = valid[0:_R].astype(jnp.int32)
-        keys = pixoff[0:_R]
-        pays = packed[0:_R]
-        incl = ktools.lane_row_scan(v, lambda a, c: a + c, 0)
-        n_here = ktools.extract(incl, _R - 1, _L - 1)
+        # d's bits 0..14 are the move distance; bits 16..25 carry the op's
+        # pixel count THROUGH the butterfly (npix <= SQOA_MAXRUN = 512).
+        # Pixel offsets (the keys) are recomputed from the compacted npix
+        # by one post-network prefix sum — one fewer payload riding all 15
+        # stages, and no pixel-space offset scan at all. The rank comes
+        # from the channel scan's count field (opcnt), not its own scan.
+        v = is_op[0:_R].astype(jnp.int32)
+        incl = opcnt[0:_R]
         flat = ktools.iota2((_R, _L), 0) * _L + ktools.iota2((_R, _L), 1)
-        d = jnp.where(v != 0, flat - (incl - v), -1)
-        d, srcs = ktools.butterfly_compact(d, [keys, pays], 15)
+        d = jnp.where(
+            v != 0, (flat - (incl - v)) | (npix[0:_R] << 16), -1
+        )
+        d, (pays_c,) = ktools.butterfly_compact(d, [packed[0:_R]], 15)
+        npix_c = jnp.where(d >= 0, d >> 16, 0)
+        pix_incl = ktools.lane_row_scan(npix_c, lambda a, c: a + c, 0)
+        keys_c = pix_incl - npix_c + carry[_C_NPIX]
+        carry[_C_NPIX] = carry[_C_NPIX] + ktools.extract(
+            pix_incl, _R - 1, _L - 1
+        )
+        # ops whose pixels start past the cap form a suffix (offsets are
+        # monotone): advance the cursor past the in-range prefix only
+        n_here = jnp.max(
+            jnp.where((d >= 0) & (keys_c < n_max), flat + 1, 0)
+        )
+        srcs = [keys_c, pays_c]
 
         sh = carry[_C_CUR] % _L
         row = ktools.iota2((_R, _L), 0)
