@@ -137,12 +137,23 @@ def _dec_epilogue(out_ch: int):
             flat = ktools.iota2((rows, L), 0) * L + ktools.iota2((rows, L), 1)
             x = jnp.where(base + flat < scal[0], packed, 0)
             x1 = ktools.flat_shift_left(x, 1, 0)
-            # drop bytes === 3 (mod 4): static monotone butterfly; after
-            # it, word w holds pixel 4w//3 (p0) and its successor (p1)
-            keep = (flat & 3) != 3
-            d = jnp.where(keep, flat >> 2, -1)
+            # drop words w === 3 (mod 4): a static monotone butterfly whose
+            # routing has a CLOSED FORM — entry w0 (w0 % 4 != 3) moves left
+            # by w0 >> 2, and after the k low stages the entries provably
+            # fill exactly the low 3*2^k words of every 4*2^k block, with
+            # the odd blocks being those whose remaining distance has bit k
+            # set. So the per-stage take masks are iota arithmetic and the
+            # distance word never rides the network (saves 2 rolls + 3
+            # selects per stage vs butterfly_compact). After it, word w
+            # holds pixel word 4w//3 (p0) and its successor (p1).
             nbits = max((rows * L // 4 - 1).bit_length(), 1)
-            _, (p0, p1) = ktools.butterfly_compact(d, [x, x1], nbits)
+            p0, p1 = x, x1
+            for k in range(nbits):
+                s = 1 << k
+                src = flat + s
+                take = (((src >> (k + 2)) & 1) == 1) & ((src & (4 * s - 1)) < 3 * s)
+                p0 = jnp.where(take, ktools.flat_roll_left(p0, s), p0)
+                p1 = jnp.where(take, ktools.flat_roll_left(p1, s), p1)
             wrows = rows * 3 // 4
             src0, src1 = p0[0:wrows, :], p1[0:wrows, :]
             wl = ktools.iota2((wrows, L), 0) * L + ktools.iota2((wrows, L), 1)

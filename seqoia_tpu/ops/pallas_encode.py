@@ -54,8 +54,9 @@ _CL_RGB = 1
 _CL_MONO_GA = 2
 _CL_NONE = 7
 
-# carry slots
-_C_PREV, _C_LASTC, _C_OFF, _C_CURSOR = range(4)
+# carry slots (OSLOT/OPEND thread the deferred append DMA: OSLOT = the
+# staging slot this step writes, OPEND = slot with a DMA in flight or -1)
+_C_PREV, _C_LASTC, _C_OFF, _C_CURSOR, _C_OSLOT, _C_OPEND = range(6)
 
 
 def _w8(x):
@@ -69,6 +70,12 @@ def _front_kernel(colch, *refs):
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
+
+    @pl.when((t == 0) & (bi == 0))
+    def _():
+        # the append staging slots cross images: init once
+        carry[_C_OSLOT] = 0
+        carry[_C_OPEND] = -1
 
     @pl.when(t == 0)
     def _():
@@ -102,6 +109,19 @@ def _front_kernel(colch, *refs):
             ),
         )
         scal_ref[0] = v
+
+        # drain the in-flight append DMA at the end of the whole grid
+        @pl.when((bi == pl.num_programs(0) - 1) & (carry[_C_OPEND] >= 0))
+        def _():
+            prev = carry[_C_OPEND]
+            for i, (ob, out) in enumerate(
+                    zip(obufs, (kout, p0out, p1out))):
+                pltpu.make_async_copy(
+                    ob.at[prev],
+                    out.at[bi, pl.ds(0, _OBUF_ROWS), :],  # shape-only
+                    sem.at[prev, i],
+                ).wait()
+            carry[_C_OPEND] = -1
 
 
 def _front_tile_body(colch, refs, bi, t, nv):
@@ -193,32 +213,43 @@ def _front_tile_body(colch, refs, bi, t, nv):
     offsets_c = off_incl - tl_c + carry[_C_OFF]
     srcs = [offsets_c, px_c, meta_c]
 
+    # deferred append (same scheme as pallas_frontend): stage into this
+    # step's slot, wait for the PREVIOUS step's append DMA (it ran behind
+    # a full tile of compute), then launch this one and leave it in
+    # flight — consecutive appends overlap in HBM on the partial row, so
+    # the wait both hides the latency and orders the writes
     sh = carry[_C_CURSOR] % _L
     row = ktools.iota2((_ROWS, _L), 0)
     lane = ktools.iota2((_ROWS, _L), 1)
+    oslot = carry[_C_OSLOT]
+    end = carry[_C_CURSOR] + n_here
+    cur_row = carry[_C_CURSOR] // _L
+    last_row_local = end // _L - cur_row
     for i, (s, ob) in enumerate(zip(srcs, obufs)):
         rolled = ktools.flat_roll_right_dyn(s, sh)
         merged = jnp.where((row == 0) & (lane < sh), crow[i : i + 1, :], rolled)
-        ob[0:_ROWS, :] = merged
-        ob[_ROWS : _ROWS + 1, :] = rolled[0:1, :]
+        ob[oslot, 0:_ROWS, :] = merged
+        ob[oslot, _ROWS : _ROWS + 1, :] = rolled[0:1, :]
+        crow[i : i + 1, :] = ob[oslot, pl.ds(last_row_local, 1), :]
 
-    cur_row = carry[_C_CURSOR] // _L
-    cps = []
+    @pl.when(carry[_C_OPEND] >= 0)
+    def _():
+        prev = carry[_C_OPEND]
+        for i, (ob, out) in enumerate(zip(obufs, (kout, p0out, p1out))):
+            pltpu.make_async_copy(
+                ob.at[prev],
+                out.at[bi, pl.ds(0, _OBUF_ROWS), :],  # shape-only
+                sem.at[prev, i],
+            ).wait()
+
     for i, (ob, out) in enumerate(zip(obufs, (kout, p0out, p1out))):
-        cp = pltpu.make_async_copy(
-            ob.at[pl.ds(0, _OBUF_ROWS), :],
+        pltpu.make_async_copy(
+            ob.at[oslot],
             out.at[bi, pl.ds(cur_row, _OBUF_ROWS), :],
-            sem.at[i],
-        )
-        cp.start()
-        cps.append(cp)
-
-    end = carry[_C_CURSOR] + n_here
-    last_row_local = end // _L - cur_row
-    for i, ob in enumerate(obufs):
-        crow[i : i + 1, :] = ob[pl.ds(last_row_local, 1), :]
-    for cp in cps:
-        cp.wait()
+            sem.at[oslot, i],
+        ).start()
+    carry[_C_OPEND] = oslot
+    carry[_C_OSLOT] = 1 - oslot
     carry[_C_CURSOR] = end
     carry[_C_OFF] = carry[_C_OFF] + ktools.extract(off_incl, _ROWS - 1, _L - 1)
 
@@ -267,11 +298,11 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
         out_specs=[any_spec] * 3 + [scal_spec],
         out_shape=[shaped((b, rows_out, _L))] * 3 + [shaped((b, 8, _L))],
         scratch_shapes=(
-            [pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32)] * 3
+            [pltpu.VMEM((2, _OBUF_ROWS, _L), jnp.int32)] * 3
             + [
                 pltpu.VMEM((3, _L), jnp.int32),
-                pltpu.SMEM((4,), jnp.int32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SMEM((6,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ]
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -79,7 +79,8 @@ _M_A = -16777216         # int32 bit pattern 0xFF000000
 
 # carry slots (PF/SLOT thread the double-buffered input DMA: PF = global
 # step index whose tile is already in flight, SLOT = its buffer slot)
-(_C_MAP, _C_NPIX, _C_VAL, _C_FLG, _C_REF, _C_CUR, _C_PF, _C_SLOT) = range(8)
+(_C_MAP, _C_NPIX, _C_VAL, _C_FLG, _C_REF, _C_CUR, _C_PF, _C_SLOT,
+ _C_OSLOT, _C_OPEND) = range(10)
 
 
 def _extract(x, r, l):
@@ -152,14 +153,17 @@ def _front_body(no_alpha, b, pos, clen, carry):
     """Shared front-end compute over one byte tile.
 
     b: (RH, L) int32 byte values (halo row included); pos: global byte
-    positions; carry: SMEM scalar carries (updated in place). Returns
-    (is_op, npix, packed, op_rank_incl) over the full (RH, L) tile —
-    callers slice the real _R rows. Pixel offsets are NOT computed here:
+    positions over (R, L); carry: SMEM scalar carries (updated in place).
+    Shifted views are built on the halo'd tile, then everything is sliced
+    to the real (R, L) rows BEFORE the scans (the halo row would force an
+    extra full-width row-phase stage in every scan). Returns
+    (is_op, npix, packed, op_rank_incl) as (R, L) arrays.
+    Pixel offsets are NOT computed here:
     the fused kernel routes npix through the compaction butterfly (packed
     into d's high bits) and prefix-sums the compacted npix instead, which
     drops both a full pixel-space scan and a butterfly payload."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
 
     b1 = _shift_flat_left(b, 1)
     b2 = _shift_flat_left(b, 2)
@@ -200,7 +204,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
             ext = ext + (ck & 1)
             att = att + (ck & 1) * (((ck >> 8) & 31) - 16)
         lens2 = lens + ext
-    eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2, 1)
+    eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2[0:_R], 1)
     if no_alpha:
         maps = _BASE4M | (1 << (eff_lens - 1))
         comp, ident = _compose_mat4, _IDENT4M
@@ -245,7 +249,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
     else:
         foreign = b < spec.OP_ALPHA
     carry[_C_REF] = carry[_C_REF] | jnp.max(
-        jnp.where(token & foreign & (row < _R), 1, 0)
+        jnp.where(token & foreign[0:_R], 1, 0)
     )
     is_op = token
 
@@ -255,13 +259,14 @@ def _front_body(no_alpha, b, pos, clen, carry):
     npix = (b & 0x3F) + 1
     npix = jnp.where(is_luma | is_rgb | is_rgba, 1, npix)
     npix = jnp.where(b == spec.OP_BIGRUN, spec.SQOA_MAXRUN, npix)
-    npix = jnp.where(b < spec.OP_ALPHA, 1, npix)  # REF: fallback anyway
+    npix = jnp.where(b < spec.OP_ALPHA, 1, npix)[0:_R]  # REF: falls back
 
     # --- channel elements -----------------------------------------------------
-    vg = (b & 0x3F) - 32
-    anchor_rgb = is_op & (is_rgb | is_rgba)
-    anchor_a = is_op & is_rgba
-    luma_op = is_op & is_luma
+    vg = (b & 0x3F)[0:_R] - 32
+    b1, b2, b3, b4 = b1[0:_R], b2[0:_R], b3[0:_R], b4[0:_R]
+    anchor_rgb = is_op & (is_rgb | is_rgba)[0:_R]
+    anchor_a = is_op & is_rgba[0:_R]
+    luma_op = is_op & is_luma[0:_R]
     r_el = jnp.where(anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0))
     g_el = jnp.where(anchor_rgb, b2, jnp.where(luma_op, vg, 0))
     b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
@@ -269,7 +274,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
     if not no_alpha:
         # each op's absorbed modifier sits lens bytes after the op start:
         # `att` (from the combo shift chain above) carries its delta
-        a_el = a_el + jnp.where(is_op, att, 0)
+        a_el = a_el + jnp.where(is_op, att[0:_R], 0)
 
     # one segmented SWAR scan over all four channels (round 2 ran two
     # 16-bit-packed pair scans); the flag word's bits 2+ double as the
@@ -283,8 +288,8 @@ def _front_body(no_alpha, b, pos, clen, carry):
         | (is_op.astype(jnp.int32) << 2)
     )
     sv, sf = ktools.lane_row_scan_multi([val, flg], _chan_combine, [0, 0])
-    cv = jnp.full((_RH, _L), carry[_C_VAL], jnp.int32)
-    cf = jnp.full((_RH, _L), carry[_C_FLG], jnp.int32)
+    cv = jnp.full((_R, _L), carry[_C_VAL], jnp.int32)
+    cf = jnp.full((_R, _L), carry[_C_FLG], jnp.int32)
     sv, sf = _chan_combine([cv, cf], [sv, sf])
     carry[_C_VAL] = _extract(sv, _R - 1, _L - 1)
     carry[_C_FLG] = _extract(sf, _R - 1, _L - 1) & 3
@@ -353,9 +358,12 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     @pl.when((t == 0) & (bi == 0))
     def _():
-        # the input-DMA prefetch chain crosses images: init once
+        # the input-DMA prefetch chain and the append staging slots cross
+        # images: init once
         carry[_C_PF] = -1
         carry[_C_SLOT] = 0
+        carry[_C_OSLOT] = 0
+        carry[_C_OPEND] = -1
 
     @pl.when(t == 0)
     def _():
@@ -374,9 +382,9 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
     @pl.when(t * _TILE < clen)
     def _():
         b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry)
-        row_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 0)
-        lane_h = jax.lax.broadcasted_iota(jnp.int32, (_RH, _L), 1)
-        pos = (t * _R + row_h) * _L + lane_h
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
+        pos = (t * _R + row_r) * _L + lane_r
 
         is_op, npix, packed, opcnt = _front_body(
             no_alpha, b, pos, clen, carry
@@ -389,13 +397,13 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
         # by one post-network prefix sum — one fewer payload riding all 15
         # stages, and no pixel-space offset scan at all. The rank comes
         # from the channel scan's count field (opcnt), not its own scan.
-        v = is_op[0:_R].astype(jnp.int32)
-        incl = opcnt[0:_R]
+        v = is_op.astype(jnp.int32)
+        incl = opcnt
         flat = ktools.iota2((_R, _L), 0) * _L + ktools.iota2((_R, _L), 1)
         d = jnp.where(
-            v != 0, (flat - (incl - v)) | (npix[0:_R] << 16), -1
+            v != 0, (flat - (incl - v)) | (npix << 16), -1
         )
-        d, (pays_c,) = ktools.butterfly_compact(d, [packed[0:_R]], 15)
+        d, (pays_c,) = ktools.butterfly_compact(d, [packed], 15)
         npix_c = jnp.where(d >= 0, d >> 16, 0)
         pix_incl = ktools.lane_row_scan(npix_c, lambda a, c: a + c, 0)
         keys_c = pix_incl - npix_c + carry[_C_NPIX]
@@ -409,33 +417,46 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
         )
         srcs = [keys_c, pays_c]
 
+        # --- deferred append: stage into this step's slot, wait for the
+        # PREVIOUS step's append DMA (usually long done — it ran behind a
+        # full tile of compute), then launch this one and leave it in
+        # flight. Consecutive appends overlap in HBM on the partial row,
+        # so at most one append DMA is ever in flight (the wait orders
+        # them); the double-buffered staging is what lets the wait move
+        # behind the compute instead of stalling right after the start.
         sh = carry[_C_CUR] % _L
         row = ktools.iota2((_R, _L), 0)
         lane = ktools.iota2((_R, _L), 1)
+        oslot = carry[_C_OSLOT]
+        end = carry[_C_CUR] + n_here
+        cur_row = carry[_C_CUR] // _L
+        last_row_local = end // _L - cur_row
         for i, (s, ob) in enumerate(zip(srcs, obufs)):
             rolled = ktools.flat_roll_right_dyn(s, sh)
             merged = jnp.where((row == 0) & (lane < sh), crow[i : i + 1, :],
                                rolled)
-            ob[0:_R, :] = merged
-            ob[_R : _R + 1, :] = rolled[0:1, :]  # wrap row
+            ob[oslot, 0:_R, :] = merged
+            ob[oslot, _R : _R + 1, :] = rolled[0:1, :]  # wrap row
+            crow[i : i + 1, :] = ob[oslot, pl.ds(last_row_local, 1), :]
 
-        cur_row = carry[_C_CUR] // _L
-        cps = []
+        @pl.when(carry[_C_OPEND] >= 0)
+        def _():
+            prev = carry[_C_OPEND]
+            for i, (ob, out) in enumerate(zip(obufs, (kout, pout))):
+                pltpu.make_async_copy(
+                    ob.at[prev],
+                    out.at[bi, pl.ds(0, _OBUF_ROWS), :],  # shape-only
+                    osem.at[prev, i],
+                ).wait()
+
         for i, (ob, out) in enumerate(zip(obufs, (kout, pout))):
-            cp = pltpu.make_async_copy(
-                ob.at[pl.ds(0, _OBUF_ROWS), :],
+            pltpu.make_async_copy(
+                ob.at[oslot],
                 out.at[bi, pl.ds(cur_row, _OBUF_ROWS), :],
-                osem.at[i],
-            )
-            cp.start()
-            cps.append(cp)
-
-        end = carry[_C_CUR] + n_here
-        last_row_local = end // _L - cur_row
-        for i, ob in enumerate(obufs):
-            crow[i : i + 1, :] = ob[pl.ds(last_row_local, 1), :]
-        for cp in cps:
-            cp.wait()
+                osem.at[oslot, i],
+            ).start()
+        carry[_C_OPEND] = oslot
+        carry[_C_OSLOT] = 1 - oslot
         carry[_C_CUR] = end
 
     @pl.when(t == pl.num_programs(1) - 1)
@@ -446,6 +467,18 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
             (row8 == 0) & (lane8 == 0), carry[_C_CUR],
             jnp.where((row8 == 0) & (lane8 == 1), carry[_C_REF], 0),
         )
+
+        # drain the in-flight append DMA at the end of the whole grid
+        @pl.when((bi == pl.num_programs(0) - 1) & (carry[_C_OPEND] >= 0))
+        def _():
+            prev = carry[_C_OPEND]
+            for i, (ob, out) in enumerate(zip(obufs, (kout, pout))):
+                pltpu.make_async_copy(
+                    ob.at[prev],
+                    out.at[bi, pl.ds(0, _OBUF_ROWS), :],  # shape-only
+                    osem.at[prev, i],
+                ).wait()
+            carry[_C_OPEND] = -1
 
 
 @functools.partial(jax.jit, static_argnames=("n_max", "no_alpha"))
@@ -479,12 +512,12 @@ def decode_front_compact(data, chunks_len, n_max, no_alpha=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((2, _RH + 7, _L), jnp.uint8),
-            pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
-            pltpu.VMEM((_OBUF_ROWS, _L), jnp.int32),
+            pltpu.VMEM((2, _OBUF_ROWS, _L), jnp.int32),
+            pltpu.VMEM((2, _OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((2, _L), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SMEM((10,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,

@@ -33,7 +33,7 @@ from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
 from seqoia_tpu.utils.corpus import _photo
 from seqoia_tpu.ops import pallas_frontend, pallas_engine, pallas_encode
 
-W = 3968  # 15.7 Mpx, 480 pixel tiles
+W = 4096  # 16.8 Mpx, 512 pixel tiles
 LAUNCHES = 6
 
 
@@ -87,10 +87,11 @@ def main():
     rows = p_out // 128
     n_tiles = n_max // p_out
 
-    def mk(out_rows, epi, dtype=jnp.int32):
+    def mk(out_rows, epi, dtype=jnp.int32, max_gap=spec.SQOA_MAXRUN - 1):
         return jax.jit(functools.partial(
             pallas_engine.place_emit, n_out=n_max, inits=(init,),
-            epilogue=epi, p_out=p_out, out_rows=out_rows, out_dtype=dtype))
+            epilogue=epi, p_out=p_out, out_rows=out_rows, out_dtype=dtype,
+            max_gap=max_gap))
 
     args = (keys_c, pays_c, totals, npx[:, None])
     report("dec place full3", n_tiles,
@@ -126,7 +127,7 @@ def main():
         return jax.jit(functools.partial(
             pallas_engine.place_emit, n_out=cap,
             inits=encode_v2._emit_inits(3), epilogue=epi, p_out=ep_out,
-            fill_keys=fill_keys))
+            fill_keys=fill_keys, max_gap=14))
 
     eargs = (ek, encode_v2._emit_payloads(ep, ek), et, scal)
     report("enc place full", e_tiles, mke(encode_v2._emit_epilogue(3), True),
