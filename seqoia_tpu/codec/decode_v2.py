@@ -175,6 +175,39 @@ def _dec_epilogue(out_ch: int):
     return epilogue
 
 
+def _dec_epilogue_mono(out_ch: int):
+    """In-kernel pixel emission for mono sources (gray in packed byte 0,
+    alpha in byte 3 — pallas_frontend mode="mono").
+
+    out_ch=1: each int32 lane narrows to its gray byte; place_emit's
+    uint8 output array IS the flat pixel stream, no data movement.
+    out_ch=2: (gray, alpha) packs into a uint16 whose little-endian
+    bytes are the interleaved 2-channel stream."""
+    key = ("mono", out_ch)
+    if key in _DEC_EPILOGUES:
+        return _DEC_EPILOGUES[key]
+    from ..ops import ktools
+
+    if out_ch == 1:
+        def epilogue(filled, base, scal):
+            packed = filled[0]
+            rows, L = packed.shape
+            pix = base + ktools.iota2((rows, L), 0) * L \
+                + ktools.iota2((rows, L), 1)
+            return jnp.where(pix < scal[0], packed & 255, 0)
+    else:
+        def epilogue(filled, base, scal):
+            packed = filled[0]
+            rows, L = packed.shape
+            pix = base + ktools.iota2((rows, L), 0) * L \
+                + ktools.iota2((rows, L), 1)
+            v = (packed & 255) | (((packed >> 24) & 255) << 8)
+            return jnp.where(pix < scal[0], v, 0)
+
+    _DEC_EPILOGUES[key] = epilogue
+    return epilogue
+
+
 def _use_pallas_expand(m: int, n_max: int) -> bool:
     import os
 
@@ -197,11 +230,12 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
                           src_alpha=True):
     """Decode a batch of SQOA (non-compat) streams. See module docstring.
 
-    emit="words" returns the pixels as (B, n_max*out_ch//4) int32 whose
-    little-endian bytes are the interleaved pixel stream — numpy's free
-    ``.view(np.uint8)`` on the host replaces an on-device int32->uint8
-    relayout (TPU tiled layouts differ per dtype, so the bitcast is a real
-    copy). Requires n_max*out_ch % 4 == 0.
+    emit="words" returns the pixels as an array whose little-endian byte
+    view is the interleaved pixel stream — int32 (B, n_max*out_ch//4) on
+    the color paths, uint8/uint16 (B, n_max) on the fused mono paths —
+    numpy's free ``.view(np.uint8)`` on the host replaces an on-device
+    relayout (TPU tiled layouts differ per dtype, so a device bitcast is
+    a real copy). Requires n_max*out_ch % 4 == 0.
 
     data: (B, M) uint8; chunks_len, n_pixels: (B,) int32.
     expand="xla" forces the scatter-based expansion (required when running
@@ -211,7 +245,8 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     assert not compat, "use decode_stream_compat for QOI streams"
     bsz0, m0 = data.shape
     if (
-        expand != "xla" and colch == 3
+        expand != "xla"
+        and (colch == 3 or out_ch in (1, 2))
         and _use_pallas_expand(m0, n_max)
     ):
         # fully-fused front-end + butterfly data-movement engine (hot path):
@@ -220,16 +255,34 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         # per-position (valid, pixoff, packed) arrays ever touch HBM.
         from ..ops import pallas_engine, pallas_frontend
 
-        # alpha-less sources (header channels==3) take a front-end variant
-        # that skips the alpha-train machinery entirely; foreign streams
-        # containing alpha tokens get flagged for the host fallback
+        # alpha-less color sources (header channels==3) take a front-end
+        # variant that skips the alpha-train machinery entirely; foreign
+        # streams containing alpha tokens get flagged for the host
+        # fallback. Mono sources take the mono grammar (no alpha peek).
+        mode = (
+            "mono" if colch == 1 else ("alpha" if src_alpha else "noalpha")
+        )
         keys_c, pays_c, totals, ref_flag = (
             pallas_frontend.decode_front_compact(
-                data, chunks_len, n_max, no_alpha=not src_alpha
+                data, chunks_len, n_max, mode=mode
             )
         )
         init = int(np.int32(np.uint32(255 << 24)))
         p_out = next(p for p in (32768, 16384, 8192, 4096, 2048) if n_max % p == 0)
+        if colch == 1:
+            # fused mono emission: uint8 (gray) or uint16 (gray|alpha<<8)
+            # output — the array's LE byte view IS the pixel stream, so
+            # neither dtype needs any in-kernel data movement
+            out = pallas_engine.place_emit(
+                keys_c, pays_c, totals, n_pixels[:, None], n_max, (init,),
+                _dec_epilogue_mono(out_ch), p_out=p_out,
+                out_dtype=jnp.uint8 if out_ch == 1 else jnp.uint16,
+                max_gap=spec.SQOA_MAXRUN - 1,
+            )
+            if emit == "words" or out_ch == 1:
+                return out, ref_flag != 0
+            out = jax.lax.bitcast_convert_type(out, jnp.uint8)
+            return out.reshape(bsz0, n_max * 2), ref_flag != 0
         if out_ch in (3, 4):
             # in-kernel emission: packed int32 words bitcast straight to
             # the interleaved uint8 pixels (LE byte order; out_ch=3 drops

@@ -19,11 +19,15 @@ operand views come from a one-row halo so every shift stays on-chip.
 appends the surviving ops to a dense output stream at an exact cursor.
 The byte stream is ingested as uint8 directly (in-kernel convert).
 
-Covers the hot mode (color, non-compat); other modes use the unfused
-path. Reference semantics: seqoia.h:722-806 — note the dispatch's final
-``else {run = b1 & 0x3f}`` makes *any* unmatched byte (including
-alpha-range bytes fetched as ops) a run, and the alpha peek
-(seqoia.h:777-783) consumes exactly one modifier byte after every op.
+Covers the non-compat modes — ``mode`` selects the stream class:
+``"alpha"`` (color source with alpha), ``"noalpha"`` (color, header
+channels==3), ``"mono"`` (1/2-channel gray: LUMA is 1 byte, RGB 2,
+RGBA 3, and there is NO alpha peek — the reference gates it on
+``col_channels == 3``, seqoia.h:777-783). Compat streams use the
+fixpoint/unfused paths. Reference semantics: seqoia.h:722-806 — note
+the dispatch's final ``else {run = b1 & 0x3f}`` makes *any* unmatched
+byte (including alpha-range bytes fetched as ops) a run, and the alpha
+peek consumes exactly one modifier byte after every op.
 """
 
 from __future__ import annotations
@@ -149,9 +153,10 @@ def _chan_combine(ls, rs):
     return [(rv & m) | (s & ~m), ((lf | rf) & 3) | ((lf & ~3) + (rf & ~3))]
 
 
-def _front_body(no_alpha, b, pos, clen, carry):
+def _front_body(mode, b, pos, clen, carry):
     """Shared front-end compute over one byte tile.
 
+    mode: "alpha" | "noalpha" | "mono" (see module docstring).
     b: (RH, L) int32 byte values (halo row included); pos: global byte
     positions over (R, L); carry: SMEM scalar carries (updated in place).
     Shifted views are built on the halo'd tile, then everything is sliced
@@ -162,22 +167,21 @@ def _front_body(no_alpha, b, pos, clen, carry):
     the fused kernel routes npix through the compaction butterfly (packed
     into d's high bits) and prefix-sums the compacted npix instead, which
     drops both a full pixel-space scan and a butterfly payload."""
+    mono = mode == "mono"
+    no_alpha = mode == "noalpha"
+    use_mat = mode != "alpha"
     row = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
 
     b1 = _shift_flat_left(b, 1)
     b2 = _shift_flat_left(b, 2)
-    b3 = _shift_flat_left(b, 3)
-    b4 = _shift_flat_left(b, 4)
+    if not mono:
+        b3 = _shift_flat_left(b, 3)
+        b4 = _shift_flat_left(b, 4)
 
     is_luma = (b & spec.MASK_2) == spec.OP_LUMA
     is_rgb = b == spec.OP_RGB
     is_rgba = b == spec.OP_RGBA
-    lens = (
-        1 + jnp.where(is_luma, 1, 0)
-        + jnp.where(is_rgb, 3, 0)
-        + jnp.where(is_rgba, 4, 0)
-    )
 
     # --- token automaton ----------------------------------------------------
     # Alpha-capable mode: fold the reference's one-byte alpha peek
@@ -185,7 +189,15 @@ def _front_body(no_alpha, b, pos, clen, carry):
     # is alpha-range absorbs it, so alpha modifiers are exactly the
     # alpha-range bytes that are NOT token starts. This replaces round 2's
     # alternation machinery (alpha-count scan + segmented fill).
-    if no_alpha:
+    if mono:
+        # mono grammar (col_channels == 1, seqoia.h:740-775): LUMA is the
+        # 1-byte `g += vg` form, RGB carries one gray byte, RGBA gray +
+        # alpha; there is no alpha peek (gated on col_channels == 3,
+        # seqoia.h:777-779), and alpha-range bytes fetched as ops are runs
+        # like any other unmatched byte. Lengths {1, 2, 3} fit the 4-state
+        # matrix automaton.
+        lens2 = 1 + jnp.where(is_rgb, 1, 0) + jnp.where(is_rgba, 2, 0)
+    elif no_alpha:
         # RGBA is foreign here (see automaton comment): treat it as len 1
         # so lengths stay in {1, 2, 4} and the matrix needs only 4 states.
         # The stream's output is discarded anyway (host fallback) — only
@@ -193,6 +205,11 @@ def _front_body(no_alpha, b, pos, clen, carry):
         # correctly up to and including the first RGBA token.
         lens2 = 1 + jnp.where(is_luma, 1, 0) + jnp.where(is_rgb, 3, 0)
     else:
+        lens = (
+            1 + jnp.where(is_luma, 1, 0)
+            + jnp.where(is_rgb, 3, 0)
+            + jnp.where(is_rgba, 4, 0)
+        )
         isalpha = (b >= spec.OP_ALPHA) & (b < spec.OP_LUMA)
         # one shift chain serves both the length extension (bit 0) and the
         # absorbed modifier's delta (bits 8-12, biased +16)
@@ -205,7 +222,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
             att = att + (ck & 1) * (((ck >> 8) & 31) - 16)
         lens2 = lens + ext
     eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2[0:_R], 1)
-    if no_alpha:
+    if use_mat:
         maps = _BASE4M | (1 << (eff_lens - 1))
         comp, ident = _compose_mat4, _IDENT4M
     else:
@@ -221,7 +238,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
                   ident),
     )
     cm = carry[_C_MAP]
-    if no_alpha:
+    if use_mat:
         # entry state = the set bit's index in the carried matrix's row 0
         row0 = cm & 15
         e0 = (
@@ -235,7 +252,7 @@ def _front_body(no_alpha, b, pos, clen, carry):
     token = token & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
 
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
-    if no_alpha:
+    if use_mat:
         carry[_C_MAP] = _compose_mat4(cm, tile_map)
     else:
         carry[_C_MAP] = _compose_scalar(cm, tile_map, 6)
@@ -243,7 +260,9 @@ def _front_body(no_alpha, b, pos, clen, carry):
     # foreign-stream flag: REF range always; in alpha-less sources (header
     # channels==3) the encoder never emits ALPHA modifiers (va==0 always,
     # seqoia.h:616-618) nor RGBA ops, so any alpha-range or RGBA token
-    # flags too (the 4-state automaton mis-lengths RGBA past this point)
+    # flags too (the 4-state automaton mis-lengths RGBA past this point).
+    # Mono: only REF is foreign (alpha-range ops are legal runs, RGBA is a
+    # legal 3-byte op).
     if no_alpha:
         foreign = (b < spec.OP_LUMA) | is_rgba
     else:
@@ -263,15 +282,29 @@ def _front_body(no_alpha, b, pos, clen, carry):
 
     # --- channel elements -----------------------------------------------------
     vg = (b & 0x3F)[0:_R] - 32
-    b1, b2, b3, b4 = b1[0:_R], b2[0:_R], b3[0:_R], b4[0:_R]
     anchor_rgb = is_op & (is_rgb | is_rgba)[0:_R]
     anchor_a = is_op & is_rgba[0:_R]
     luma_op = is_op & is_luma[0:_R]
-    r_el = jnp.where(anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0))
-    g_el = jnp.where(anchor_rgb, b2, jnp.where(luma_op, vg, 0))
-    b_el = jnp.where(anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0))
-    a_el = jnp.where(anchor_a, b4, 0)
-    if not no_alpha:
+    if mono:
+        # the gray channel rides SWAR byte lane 0 (reset by flag bit 0,
+        # same as color r); alpha rides lane 3. Operands: RGB = (tag, g),
+        # RGBA = (tag, g, a), LUMA applies vg to gray (seqoia.h:740-769).
+        b1, b2 = b1[0:_R], b2[0:_R]
+        r_el = jnp.where(anchor_rgb, b1, jnp.where(luma_op, vg, 0))
+        g_el = jnp.zeros_like(r_el)
+        b_el = g_el
+        a_el = jnp.where(anchor_a, b2, 0)
+    else:
+        b1, b2, b3, b4 = b1[0:_R], b2[0:_R], b3[0:_R], b4[0:_R]
+        r_el = jnp.where(
+            anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0)
+        )
+        g_el = jnp.where(anchor_rgb, b2, jnp.where(luma_op, vg, 0))
+        b_el = jnp.where(
+            anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0)
+        )
+        a_el = jnp.where(anchor_a, b4, 0)
+    if mode == "alpha":
         # each op's absorbed modifier sits lens bytes after the op start:
         # `att` (from the combo shift chain above) carries its delta
         a_el = a_el + jnp.where(is_op, att[0:_R], 0)
@@ -348,7 +381,7 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry):
     return dbuf[mine, 0:_RH, :].astype(jnp.int32)
 
 
-def _front_compact_kernel(n_max, no_alpha, *refs):
+def _front_compact_kernel(n_max, mode, *refs):
     (data_ref, clen_ref, kout, pout, scal_ref,
      dbuf, ob0, ob1, crow, carry, sem, osem) = refs
     obufs = (ob0, ob1)
@@ -367,7 +400,7 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
 
     @pl.when(t == 0)
     def _():
-        carry[_C_MAP] = _IDENT4M if no_alpha else _IDENT6
+        carry[_C_MAP] = _IDENT6 if mode == "alpha" else _IDENT4M
         carry[_C_NPIX] = 0
         carry[_C_VAL] = 0
         carry[_C_FLG] = 0
@@ -387,7 +420,7 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
         pos = (t * _R + row_r) * _L + lane_r
 
         is_op, npix, packed, opcnt = _front_body(
-            no_alpha, b, pos, clen, carry
+            mode, b, pos, clen, carry
         )
 
         # --- in-kernel compaction + append (mirrors pallas_encode) ----------
@@ -481,20 +514,23 @@ def _front_compact_kernel(n_max, no_alpha, *refs):
             carry[_C_OPEND] = -1
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "no_alpha"))
-def decode_front_compact(data, chunks_len, n_max, no_alpha=False):
-    """Front-end fused with op-stream compaction (color non-compat).
+@functools.partial(jax.jit, static_argnames=("n_max", "mode"))
+def decode_front_compact(data, chunks_len, n_max, mode="alpha"):
+    """Front-end fused with op-stream compaction (non-compat).
 
+    mode: "alpha" | "noalpha" (color) | "mono" (1/2-channel gray; packed
+    payload carries gray in byte 0 and alpha in byte 3).
     data: (B, M) uint8, M % 32768 == 0. Returns (keys (B, M+slack) int32 =
     compacted pixel offsets, [packed] compacted payload list, totals (B,),
     has_ref (B,)) — drop-in for pallas_engine.compact(frontend(...))."""
+    assert mode in ("alpha", "noalpha", "mono"), mode
     b, m = data.shape
     t = m // _TILE
     rows_out = m // _L + _OBUF_ROWS
     d8 = data.reshape(b, m // _L, _L)
     d8 = jnp.pad(d8, ((0, 0), (0, _RH + 7), (0, 0)))
 
-    kern = functools.partial(_front_compact_kernel, n_max, no_alpha)
+    kern = functools.partial(_front_compact_kernel, n_max, mode)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scal_spec = pl.BlockSpec(

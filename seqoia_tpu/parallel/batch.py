@@ -158,8 +158,8 @@ class BatchDecoder:
             out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
                 b_pad, cols
             )
-            if out.dtype == np.int32:  # emit="words": free host-side view
-                out = out.view(np.uint8)
+            if out.dtype != np.uint8:  # emit="words": free host-side view
+                out = out.view(np.uint8)  # int32 (color) / uint16 (mono+a)
             need_fb = np.asarray(need_fb)
             fallback = []
             for j, (i, data, desc) in enumerate(items):

@@ -90,6 +90,28 @@ eom, etm = encode_v2.encode_stream_batched(
 assert bytes(np.asarray(eom[0])[: int(etm[0])]) == streamm[15:], \
     "interpret mono encode mismatch"
 
+# mono decode through the fused front (mode="mono": LUMA=1/RGB=2/RGBA=3 byte
+# grammar, no alpha peek — seqoia.h:740-783): u8 and u16 in-kernel emission
+for mch, mout in ((1, 1), (2, 2)):
+    pm = np.empty((w * h, mch), np.uint8)
+    pm[:, 0] = (128 + np.cumsum(rng.integers(-12, 13, w * h), 0)) % 256
+    if mch == 2:
+        pm[:, 1] = (200 + np.cumsum(
+            rng.integers(-3, 4, w * h) * (rng.random(w * h) < 0.1), 0)) % 256
+    pm[5000:9000] = pm[5000]  # long run -> BIGRUN
+    sm = native.encode(pm.ravel(), w, h, mch, 0, 0)
+    mp = -(-len(sm) // 32768) * 32768
+    bufm = np.zeros((1, mp), np.uint8)
+    bufm[0, : len(sm)] = np.frombuffer(sm, np.uint8)
+    om, _ = native.decode(sm, 0)
+    outm, hrm = decode_v2.decode_stream_batched(
+        jnp.asarray(bufm), jnp.asarray([len(sm) - 8], jnp.int32),
+        jnp.asarray([w * h], jnp.int32),
+        colch=1, compat=False, out_ch=mout, n_max=w * h, emit="words")
+    gm = np.asarray(outm).view(np.uint8).reshape(-1)[: w * h * mout]
+    assert np.array_equal(gm, om), f"interpret mono decode mismatch ch={mch}"
+    assert not bool(np.asarray(hrm)[0])
+
 # QOI-compat fixpoint decode (slot last-writer kernel + index resolution)
 from seqoia_tpu.codec import decode_compat
 pal = rng.integers(0, 256, (5, 4), dtype=np.uint8)

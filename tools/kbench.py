@@ -151,7 +151,8 @@ def main():
         fa = [
             (jax.jit(functools.partial(
                 pallas_frontend.decode_front_compact, n_max=n_max,
-                no_alpha=no_alpha)), (args[0], args[1]))
+                mode="noalpha" if no_alpha else "alpha")),
+             (args[0], args[1]))
             for args, n_max, no_alpha, _ in front_plans
         ]
         report("decode_front_compact", total_px, fa)
@@ -160,7 +161,8 @@ def main():
         place_plans = []
         for (args, n_max, no_alpha, out_ch) in front_plans:
             keys_c, pays_c, totals, _ = pallas_frontend.decode_front_compact(
-                args[0], args[1], n_max, no_alpha=no_alpha)
+                args[0], args[1], n_max,
+                mode="noalpha" if no_alpha else "alpha")
             jax.block_until_ready(keys_c)
             p_out = next(p for p in (32768, 16384, 8192, 4096, 2048)
                          if n_max % p == 0)

@@ -81,7 +81,7 @@ def main():
           f"{m_pad//32768} byte tiles, {n_max//32768} px tiles", flush=True)
 
     keys_c, pays_c, totals, _ = pallas_frontend.decode_front_compact(
-        data, clen, n_max, no_alpha=True)
+        data, clen, n_max, mode="noalpha")
     init = int(np.int32(np.uint32(255 << 24)))
     p_out = 32768
     rows = p_out // 128
@@ -103,7 +103,7 @@ def main():
 
     # front for scale: current decode front cost on the same stream
     ff = jax.jit(functools.partial(
-        pallas_frontend.decode_front_compact, n_max=n_max, no_alpha=True))
+        pallas_frontend.decode_front_compact, n_max=n_max, mode="noalpha"))
     bt = m_pad // 32768
     report("dec front (B tiles)", bt, ff, (data, clen))
 
