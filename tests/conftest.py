@@ -36,6 +36,13 @@ import ctypes
 import numpy as np
 import pytest
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: large-input stress cases (run by default; deselect "
+        "with -m 'not slow' for a quick pass)"
+    )
+
 REFERENCE_HEADER = "/root/reference/seqoia.h"
 _PROBE_SO = "/tmp/libsqoa_refprobe.so"
 
