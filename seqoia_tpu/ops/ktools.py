@@ -31,6 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _L = 128
 _INT_MIN = -(2**31)
+HOLE = _INT_MIN  # butterfly hole marker: bits 0..30 all zero
 
 
 def iota2(shape, dim):
@@ -255,36 +256,41 @@ def fill_scan(vals, flags, rows):
 # ---------------------------------------------------------------------------
 
 def butterfly_compact(d, pays, nbits):
-    """Move entries (d >= 0) left by their distance d; holes are d == -1.
+    """Move entries (d >= 0) left by their distance d; holes are d == HOLE
+    (INT_MIN — bits 0..30 are all zero, so a single bit-k sign test serves
+    as both the "is an entry" and "moves this stage" check, saving the
+    separate >= 0 guards on take and keep that a -1 hole marker needs).
 
     d must be monotone non-decreasing over entries and equal to
-    position - target (target = output rank). Payload values at hole
+    position - target (target = output rank); bits 15..30 may carry extra
+    per-entry payload through the network. Payload values at hole
     positions after the network are stale garbage — consumers must mask by
     entry count. Returns (d_out, pays_out); entry slots have d_out >= 0.
     """
     for k in range(nbits):
         s = 1 << k
-        d_s = flat_shift_left(d, s, -1)
-        take = (d_s >= 0) & (((d_s >> k) & 1) == 1)
-        keep = (d >= 0) & (((d >> k) & 1) == 0)
+        d_s = flat_shift_left(d, s, HOLE)
+        take = (d_s << (31 - k)) < 0       # bit k set and not a hole
+        stay = (d << (31 - k)) >= 0        # bit k clear (holes stay holes)
         pays = [
             jnp.where(take, flat_roll_left(p, s), p) for p in pays
         ]
-        d = jnp.where(take, d_s, jnp.where(keep, d, -1))
+        d = jnp.where(take, d_s, jnp.where(stay, d, HOLE))
     return d, pays
 
 
 def butterfly_expand(d, pays, nbits):
     """Move entries (d >= 0) right by d, MSB-first (inverse network of
-    butterfly_compact). Requires entries dense at positions j with strictly
-    increasing targets tau_j = j + d_j. Returns (occupancy >= 0 map, pays)."""
+    butterfly_compact; holes are d == HOLE, same encoding trick). Requires
+    entries dense at positions j with strictly increasing targets
+    tau_j = j + d_j. Returns (occupancy >= 0 map, pays)."""
     for k in reversed(range(nbits)):
         s = 1 << k
-        d_s = flat_shift_right(d, s, -1)
-        take = (d_s >= 0) & (((d_s >> k) & 1) == 1)
-        keep = (d >= 0) & (((d >> k) & 1) == 0)
+        d_s = flat_shift_right(d, s, HOLE)
+        take = (d_s << (31 - k)) < 0
+        stay = (d << (31 - k)) >= 0
         pays = [
             jnp.where(take, flat_roll_right(p, s), p) for p in pays
         ]
-        d = jnp.where(take, d_s, jnp.where(keep, d, -1))
+        d = jnp.where(take, d_s, jnp.where(stay, d, HOLE))
     return d, pays

@@ -205,7 +205,7 @@ def _front_tile_body(colch, refs, bi, t, nv):
     incl = ktools.lane_row_scan(emit, lambda a, c: a + c, 0)
     n_here = ktools.extract(incl, _ROWS - 1, _L - 1)
     d = jnp.where(
-        emit != 0, (flat - (incl - emit)) | (total_len << 16), -1
+        emit != 0, (flat - (incl - emit)) | (total_len << 16), ktools.HOLE
     )
     d, (px_c, meta_c) = ktools.butterfly_compact(d, [px, meta], 15)
     tl_c = jnp.where(d >= 0, d >> 16, 0)

@@ -82,7 +82,7 @@ def _compact_kernel(n_pay, *refs):
     incl = ktools.lane_row_scan(v, lambda a, c: a + c, 0)
     n_here = ktools.extract(incl, _ROWS - 1, _L - 1)
     flat = ktools.iota2((_ROWS, _L), 0) * _L + ktools.iota2((_ROWS, _L), 1)
-    d = jnp.where(v != 0, flat - (incl - v), -1)
+    d = jnp.where(v != 0, flat - (incl - v), ktools.HOLE)
     d, srcs = ktools.butterfly_compact(d, srcs, 15)
 
     # rotate to the global cursor and merge with the carried partial row
@@ -275,7 +275,7 @@ def _place_emit_kernel(n_pay, p_out, win_rows, nbits, inits, epilogue,
         tau = keys - base
         ok = (lo + j < total) & (tau >= 0) & (tau < p_out) \
             & (j < win_rows * _L - _L)
-        d = jnp.where(ok, tau - j, -1)
+        d = jnp.where(ok, tau - j, ktools.HOLE)
         d, pays = ktools.butterfly_expand(d, pays, nbits)
 
         f = (d >= 0).astype(jnp.int32)
@@ -424,7 +424,7 @@ def _place_kernel(n_pay, p_out, win_rows, nbits, inits, max_gap, *refs):
     # entries for this tile form a contiguous index range starting at lo
     # (keys strictly increasing, no duplicates)
     ok = (lo + j < total) & (tau >= 0) & (tau < p_out) & (j < win_rows * _L - _L)
-    d = jnp.where(ok, tau - j, -1)
+    d = jnp.where(ok, tau - j, ktools.HOLE)
     d, pays = ktools.butterfly_expand(d, pays, nbits)
 
     f = (d >= 0).astype(jnp.int32)

@@ -434,7 +434,7 @@ def _front_compact_kernel(n_max, mode, *refs):
         incl = opcnt
         flat = ktools.iota2((_R, _L), 0) * _L + ktools.iota2((_R, _L), 1)
         d = jnp.where(
-            v != 0, (flat - (incl - v)) | (npix << 16), -1
+            v != 0, (flat - (incl - v)) | (npix << 16), ktools.HOLE
         )
         d, (pays_c,) = ktools.butterfly_compact(d, [packed], 15)
         npix_c = jnp.where(d >= 0, d >> 16, 0)

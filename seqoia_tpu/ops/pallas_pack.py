@@ -62,7 +62,7 @@ def _pack_kernel(stride, *refs):
         f_first = (4 // stride) * i
         nbits = 15 if stride == 1 else 14
 
-    d = jnp.where(i < rows_in * _L, f_first - i, -1)
+    d = jnp.where(i < rows_in * _L, f_first - i, ktools.HOLE)
     docc, (s0,) = ktools.butterfly_expand(d, [wp], nbits)
     (s0,), _ = ktools.fill_scan_multi([s0], (docc >= 0).astype(jnp.int32))
 
