@@ -15,6 +15,7 @@ re-exported here as ``decode_stream``). This module adds:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,15 @@ def decode_stream_compat(data, chunks_len, n_pixels, *, colch, out_ch,
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
     filled = scan_ops.fill_forward(grid, gridf.astype(bool), init_packed)
 
+    return _format_pixels(
+        filled, n_pixels, colch=colch, out_ch=out_ch, n_max=n_max
+    )  # flat, matching the hot paths
+
+
+def _format_pixels(filled, n_pixels, *, colch, out_ch, n_max):
+    """Packed r|g<<8|b<<16|a<<24 per pixel -> flat uint8 in out_ch layout
+    (mono replicates gray; alpha appended iff out_ch is even — mirrors the
+    reference's requested-channel forcing, seqoia.h:790-805)."""
     r, g = filled & 255, (filled >> 8) & 255
     bb, a = (filled >> 16) & 255, (filled >> 24) & 255
     t = jnp.arange(n_max, dtype=jnp.int32)
@@ -169,7 +179,131 @@ def decode_stream_compat(data, chunks_len, n_pixels, *, colch, out_ch,
         cols.append(a)
     out = jnp.stack(cols[:out_ch], axis=1).astype(jnp.uint8)
     out = jnp.where((t < n_pixels)[:, None], out, 0)
-    return out.reshape(n_max * out_ch)  # flat, matching the hot paths
+    return out.reshape(n_max * out_ch)
+
+
+@functools.partial(jax.jit, static_argnames=("colch", "out_ch", "n_max"))
+def decode_stream_ref(data, chunks_len, n_pixels, *, colch, out_ch, n_max):
+    """Device-native decoder for SQOA streams containing OP_REF.
+
+    REF replays 2-4 opcode bytes from a 31-byte back-window and teleports
+    the cursor when the window is exhausted (reference: seqoia.h:729-738
+    and the SQOA_NEXT macro, seqoia.h:418) — the cursor is non-monotonic,
+    which defeats the parallel tokenizer. This path reproduces the
+    reference's cursor automaton exactly as a ``lax.scan`` over output
+    pixels (the per-step byte fetches are gathers, so it is far slower
+    than the hot kernels — but REF is decode-only and the reference
+    encoder never emits it, SURVEY.md §2.1.9, so only foreign streams
+    land here). Non-compat only (REF cannot occur in compat streams).
+
+    Returns (flat uint8 pixels in out_ch layout, err) — err mirrors the
+    reference's negative-start rejection (seqoia.h:733-736).
+    """
+    b = data.astype(jnp.int32)
+    nbytes = b.shape[0]
+
+    def fetch(pos):
+        return b[jnp.clip(pos, 0, nbytes - 1)]
+
+    def cur_next(pos, rend, res):
+        """Replay-aware byte fetch: at the replay window's end the cursor
+        jumps to resume+1 and reads there WITHOUT advancing (exact
+        SQOA_NEXT semantics, seqoia.h:418)."""
+        tele = pos == rend
+        rp = jnp.where(tele, res + 1, pos)
+        return fetch(rp), jnp.where(tele, rp, pos + 1)
+
+    def step(carry, _):
+        pos, rend, res, run, r, g, bl, a, err = carry
+        active = (run == 0) & (pos < chunks_len)
+
+        # --- op fetch (REF may redirect it) -----------------------------
+        b1, pos_a = cur_next(pos, rend, res)
+        is_ref = b1 < spec.OP_ALPHA
+        res_n = jnp.where(is_ref, pos_a, res)
+        rend_n = jnp.where(is_ref, pos_a - (b1 & 31), rend)
+        pos_ref = rend_n - 2 - (b1 >> 5)
+        bad = is_ref & (pos_ref < 0)
+        # the REF replacement byte is a raw read (bytes[p++]), not replay-aware
+        b1 = jnp.where(is_ref, fetch(pos_ref), b1)
+        pos_a = jnp.where(is_ref, pos_ref + 1, pos_a)
+
+        # --- operand chain (each fetch may hit the replay end) ----------
+        o1, p1 = cur_next(pos_a, rend_n, res_n)
+        o2, p2 = cur_next(p1, rend_n, res_n)
+        if colch == 3:
+            o3, p3 = cur_next(p2, rend_n, res_n)
+            o4, p4 = cur_next(p3, rend_n, res_n)
+
+        is_rgb = b1 == spec.OP_RGB
+        is_rgba = b1 == spec.OP_RGBA
+        is_luma = (b1 & spec.MASK_2) == spec.OP_LUMA
+        is_bigrun = b1 == spec.OP_BIGRUN
+        vg = (b1 & 0x3F) - 32
+        anchor = is_rgb | is_rgba
+
+        if colch == 3:
+            nop = jnp.where(
+                anchor, jnp.where(is_rgba, 4, 3), jnp.where(is_luma, 1, 0)
+            )
+            r_n = jnp.where(
+                anchor, o1,
+                jnp.where(is_luma, r + vg - 8 + ((o1 >> 4) & 15), r),
+            )
+            g_n = jnp.where(anchor, o2, jnp.where(is_luma, g + vg, g))
+            b_n = jnp.where(
+                anchor, o3, jnp.where(is_luma, bl + vg - 8 + (o1 & 15), bl)
+            )
+            a_n = jnp.where(is_rgba, o4, a)
+            pos_c = jnp.select(
+                [nop == 0, nop == 1, nop == 3], [pos_a, p1, p3], p4
+            )
+        else:
+            nop = jnp.where(anchor, jnp.where(is_rgba, 2, 1), 0)
+            r_n, b_n = r, bl
+            g_n = jnp.where(anchor, o1, jnp.where(is_luma, g + vg, g))
+            a_n = jnp.where(is_rgba, o2, a)
+            pos_c = jnp.select([nop == 0, nop == 1], [pos_a, p1], p2)
+
+        run_set = jnp.where(
+            is_bigrun, spec.SQOA_MAXRUN - 1,
+            jnp.where(anchor | is_luma, 0, b1 & 0x3F),
+        )
+
+        # --- alpha-delta peek (color mode only): the PEEK is a raw read
+        # of bytes[pos] but the CONSUMPTION goes through the replay-aware
+        # cursor — exactly as the reference does (seqoia.h:777-783)
+        if colch == 3:
+            peek = fetch(pos_c)
+            modif = (peek >= spec.OP_ALPHA) & (peek < spec.OP_LUMA)
+            b_mod, pos_d = cur_next(pos_c, rend_n, res_n)
+            a_n = jnp.where(modif, a_n + (b_mod & 0x1F) - 16, a_n)
+            pos_c = jnp.where(modif, pos_d, pos_c)
+
+        # --- commit (only when an op was consumed this step) ------------
+        sel = lambda n, o: jnp.where(active, n, o)
+        r2 = sel(r_n, r) & 255
+        g2 = sel(g_n, g) & 255
+        b2_ = sel(b_n, bl) & 255
+        a2 = sel(a_n, a) & 255
+        carry = (
+            sel(pos_c, pos), sel(rend_n, rend), sel(res_n, res),
+            jnp.where(active, run_set, jnp.maximum(run - 1, 0)),
+            r2, g2, b2_, a2, err | (active & bad),
+        )
+        return carry, r2 | (g2 << 8) | (b2_ << 16) | (a2 << 24)
+
+    start = spec.HEADER_SIZE + 1  # non-compat: skip header + start byte
+    init = (
+        jnp.int32(start), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(255),
+        jnp.bool_(False),
+    )
+    carry, packed = jax.lax.scan(step, init, None, length=n_max)
+    out = _format_pixels(
+        packed, n_pixels, colch=colch, out_ch=out_ch, n_max=n_max
+    )
+    return out, carry[8]
 
 
 def decode(data: bytes, channels: int = 0):
@@ -230,6 +364,17 @@ def decode(data: bytes, channels: int = 0):
         src_alpha=desc.has_alpha,
     )
     if bool(has_ref):
+        # REF streams: device-resident lax.scan path (SEQOIA_REF_TPU=1) or
+        # the native sequential runtime (default — faster on foreign
+        # streams, which is all REF can appear in).
+        if os.environ.get("SEQOIA_REF_TPU", "") == "1":
+            out, err = decode_stream_ref(
+                arr, jnp.int32(chunks_len), jnp.int32(n_pix),
+                colch=colch, out_ch=out_ch, n_max=n_max,
+            )
+            if bool(err):
+                return None, None
+            return np.asarray(out).reshape(-1)[: n_pix * out_ch], desc
         pixels, d = native.decode(bytes(data), channels)
         if pixels is None:
             return None, None

@@ -134,6 +134,62 @@ def test_decode_ref_op_falls_back():
     assert ours is not None and np.array_equal(ours, oracle)
 
 
+def test_decode_ref_op_device_path(monkeypatch):
+    """The lax.scan REF decoder (SEQOIA_REF_TPU=1) matches the native
+    runtime on replaying, teleporting, erroring, and mono REF streams."""
+    from seqoia_tpu.codec import decode_jax
+
+    monkeypatch.setenv("SEQOIA_REF_TPU", "1")
+
+    def both(data, fch):
+        ours = decode_jax.decode(data, fch)
+        theirs = native.decode(data, fch)
+        assert (ours[0] is None) == (theirs[0] is None), (data.hex(), fch)
+        if ours[0] is not None:
+            assert np.array_equal(ours[0], theirs[0]), (data.hex(), fch)
+
+    hdr = spec.pack_header(spec.SqoaDesc(4, 1, 3, 0, 0))
+    # RGB(1,2,3), LUMA pair, REF len=2 off=1 (replays the LUMA pair)
+    v1 = hdr + bytes([0xFE, 1, 2, 3, 0xA3, 0x76, (0 << 5) | 1]) + spec.PADDING
+    # REF len=4 off=1: window starts inside the RGB operands and the
+    # replay end lands mid-operand -> the cursor teleports while reading
+    # an operand (SQOA_NEXT edge, seqoia.h:418)
+    v2 = hdr + bytes([0xFE, 1, 2, 3, 0xA3, 0x76, (2 << 5) | 1]) + spec.PADDING
+    # REF whose window starts before the stream -> negative start, error
+    # (seqoia.h:733-736)
+    v3 = hdr + bytes([0xFE, 1, 2, 3, (0 << 5) | 31]) + spec.PADDING
+    # REF len=4 off=1 replaying two LUMA pairs, then the window exhausts
+    # with pixels remaining -> the cursor TELEPORTS to resume+1 (skipping
+    # the byte at resume, per SQOA_NEXT's exact semantics)
+    h7 = spec.pack_header(spec.SqoaDesc(7, 1, 3, 0, 0))
+    v5 = h7 + bytes(
+        [0xFE, 1, 2, 3, 0xA1, 0x11, 0xA2, 0x22, (2 << 5) | 1, 0xFE, 7, 7, 7]
+    ) + spec.PADDING
+    for v in (v1, v2, v3, v5):
+        for fch in (0, 3, 4):
+            both(v, fch)
+
+    # mono stream with a REF replaying a gray LUMA byte
+    mh = spec.pack_header(spec.SqoaDesc(5, 1, 1, 0, 0))
+    v4 = mh + bytes([0xFE, 9, 0x85, 0x9F, (0 << 5) | 1]) + spec.PADDING
+    for fch in (0, 1, 2, 3, 4):
+        both(v4, fch)
+
+    # randomized: valid small streams with REF-range bytes injected
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        ch = (3, 4, 1, 2)[trial % 4]
+        colch = 1 if ch < 3 else 3
+        stride = colch + (1 - (ch & 1))
+        w, h = 5, 3
+        pix = gen_pixels(rng, w * h, stride, KINDS[trial % len(KINDS)])
+        s = bytearray(native.encode(pix, w, h, ch, 0, 0))
+        for _ in range(int(rng.integers(1, 4))):
+            p = int(rng.integers(15, max(16, len(s) - 8)))
+            s[p] = int(rng.integers(0, 0x60))
+        both(bytes(s), int(rng.integers(0, 5)))
+
+
 def test_decode_invalid():
     assert sq.decode(b"", 0) == (None, None)
     assert sq.decode(b"\x00" * 25, 0) == (None, None)
