@@ -177,7 +177,8 @@ def _front_body(mode, b, pos, clen, carry):
     b2 = _shift_flat_left(b, 2)
     if not mono:
         b3 = _shift_flat_left(b, 3)
-        b4 = _shift_flat_left(b, 4)
+        if not no_alpha:
+            b4 = _shift_flat_left(b, 4)
 
     is_luma = (b & spec.MASK_2) == spec.OP_LUMA
     is_rgb = b == spec.OP_RGB
@@ -283,7 +284,10 @@ def _front_body(mode, b, pos, clen, carry):
     # --- channel elements -----------------------------------------------------
     vg = (b & 0x3F)[0:_R] - 32
     anchor_rgb = is_op & (is_rgb | is_rgba)[0:_R]
-    anchor_a = is_op & is_rgba[0:_R]
+    if no_alpha:
+        anchor_a = jnp.zeros_like(anchor_rgb)
+    else:
+        anchor_a = is_op & is_rgba[0:_R]
     luma_op = is_op & is_luma[0:_R]
     if mono:
         # the gray channel rides SWAR byte lane 0 (reset by flag bit 0,
@@ -295,7 +299,7 @@ def _front_body(mode, b, pos, clen, carry):
         b_el = g_el
         a_el = jnp.where(anchor_a, b2, 0)
     else:
-        b1, b2, b3, b4 = b1[0:_R], b2[0:_R], b3[0:_R], b4[0:_R]
+        b1, b2, b3 = b1[0:_R], b2[0:_R], b3[0:_R]
         r_el = jnp.where(
             anchor_rgb, b1, jnp.where(luma_op, vg - 8 + ((b1 >> 4) & 15), 0)
         )
@@ -303,7 +307,14 @@ def _front_body(mode, b, pos, clen, carry):
         b_el = jnp.where(
             anchor_rgb, b3, jnp.where(luma_op, vg - 8 + (b1 & 15), 0)
         )
-        a_el = jnp.where(anchor_a, b4, 0)
+        if no_alpha:
+            # alpha-less sources never anchor alpha: an RGBA token is
+            # foreign (host fallback, output discarded), so the b4 shift
+            # chain and the alpha anchor lane drop entirely — alpha stays
+            # at its 255 initial state (seqoia.h:716-719)
+            a_el = jnp.zeros_like(r_el)
+        else:
+            a_el = jnp.where(anchor_a, b4[0:_R], 0)
     if mode == "alpha":
         # each op's absorbed modifier sits lens bytes after the op start:
         # `att` (from the combo shift chain above) carries its delta
