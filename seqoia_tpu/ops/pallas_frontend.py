@@ -49,10 +49,7 @@ from .. import spec
 from . import ktools
 
 _L = 128
-_R = 256                 # output rows per tile
-_RH = _R + 1             # +1 halo row for shifted operand views
-_TILE = _R * _L
-_OBUF_ROWS = _R + 8      # compact staging: full tile + wrap row, DMA aligned
+_R = 256                 # default output rows per tile (see `rows` param)
 
 _INT_MIN = -(2**31)
 
@@ -153,16 +150,16 @@ def _chan_combine(ls, rs):
     return [(rv & m) | (s & ~m), ((lf | rf) & 3) | ((lf & ~3) + (rf & ~3))]
 
 
-def _front_body(mode, b, pos, clen, carry):
+def _front_body(mode, b, pos, clen, carry, rows=_R):
     """Shared front-end compute over one byte tile.
 
     mode: "alpha" | "noalpha" | "mono" (see module docstring).
-    b: (RH, L) int32 byte values (halo row included); pos: global byte
-    positions over (R, L); carry: SMEM scalar carries (updated in place).
-    Shifted views are built on the halo'd tile, then everything is sliced
-    to the real (R, L) rows BEFORE the scans (the halo row would force an
-    extra full-width row-phase stage in every scan). Returns
-    (is_op, npix, packed, op_rank_incl) as (R, L) arrays.
+    b: (rows+1, L) int32 byte values (halo row included); pos: global byte
+    positions over (rows, L); carry: SMEM scalar carries (updated in
+    place). Shifted views are built on the halo'd tile, then everything is
+    sliced to the real (rows, L) rows BEFORE the scans (the halo row would
+    force an extra full-width row-phase stage in every scan). Returns
+    (is_op, npix, packed, op_rank_incl) as (rows, L) arrays.
     Pixel offsets are NOT computed here:
     the fused kernel routes npix through the compaction butterfly (packed
     into d's high bits) and prefix-sums the compacted npix instead, which
@@ -170,6 +167,7 @@ def _front_body(mode, b, pos, clen, carry):
     mono = mode == "mono"
     no_alpha = mode == "noalpha"
     use_mat = mode != "alpha"
+    _R = rows  # shadow the module default: slices below are tile-relative
     row = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
 
@@ -346,14 +344,14 @@ def _front_body(mode, b, pos, clen, carry):
     return is_op, npix, packed, sf >> 2
 
 
-def _tile_dma(data_ref, dbuf, sem, bi, t, slot):
+def _tile_dma(data_ref, dbuf, sem, bi, t, slot, rows):
     return pltpu.make_async_copy(
-        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf.at[slot],
+        data_ref.at[bi, pl.ds(t * rows, rows + 8), :], dbuf.at[slot],
         sem.at[slot],
     )
 
 
-def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry):
+def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows):
     """Double-buffered tile load: wait for this tile's in-flight DMA
     (started by the previous real grid step), start the next real tile's
     DMA into the other slot, then hand back this tile's bytes as int32.
@@ -369,10 +367,10 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry):
 
     @pl.when(carry[_C_PF] != s)  # predecessor didn't prefetch (first tile)
     def _():
-        _tile_dma(data_ref, dbuf, sem, bi, t, mine).start()
+        _tile_dma(data_ref, dbuf, sem, bi, t, mine, rows).start()
 
     nxt_same = jnp.logical_and(
-        t + 1 < t_n, (t + 1) * _TILE < clen_ref[bi]
+        t + 1 < t_n, (t + 1) * rows * _L < clen_ref[bi]
     )
     bn = jnp.where(nxt_same, bi, bi + 1)
     tn = jnp.where(nxt_same, t, -1) + 1
@@ -380,22 +378,26 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry):
 
     @pl.when(bn < pl.num_programs(0))
     def _():
-        _tile_dma(data_ref, dbuf, sem, bn, tn, other).start()
+        _tile_dma(data_ref, dbuf, sem, bn, tn, other, rows).start()
 
     carry[_C_PF] = bn * t_n + tn
     carry[_C_SLOT] = other
 
     pltpu.make_async_copy(
-        data_ref.at[bi, pl.ds(t * _R, _RH + 7), :], dbuf.at[mine],
+        data_ref.at[bi, pl.ds(t * rows, rows + 8), :], dbuf.at[mine],
         sem.at[mine],
     ).wait()
-    return dbuf[mine, 0:_RH, :].astype(jnp.int32)
+    return dbuf[mine, 0 : rows + 1, :].astype(jnp.int32)
 
 
-def _front_compact_kernel(n_max, mode, *refs):
+def _front_compact_kernel(n_max, mode, rows, *refs):
     (data_ref, clen_ref, kout, pout, scal_ref,
      dbuf, ob0, ob1, crow, carry, sem, osem) = refs
     obufs = (ob0, ob1)
+    _R = rows                              # tile geometry (256 or 512)
+    _TILE = rows * _L
+    _OBUF_ROWS = rows + 8
+    nbits = max((_TILE - 1).bit_length(), 1)
 
     bi = pl.program_id(0)
     t = pl.program_id(1)
@@ -425,17 +427,18 @@ def _front_compact_kernel(n_max, mode, *refs):
     # without the skip the padding dominates icon-class buckets)
     @pl.when(t * _TILE < clen)
     def _():
-        b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry)
+        b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows)
         row_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
         pos = (t * _R + row_r) * _L + lane_r
 
         is_op, npix, packed, opcnt = _front_body(
-            mode, b, pos, clen, carry
+            mode, b, pos, clen, carry, rows
         )
 
         # --- in-kernel compaction + append (mirrors pallas_encode) ----------
-        # d's bits 0..14 are the move distance; bits 16..25 carry the op's
+        # d's low `nbits` bits are the move distance (<= 15 at 256-row
+        # tiles, 16 at 512); bits 16..25 carry the op's
         # pixel count THROUGH the butterfly (npix <= SQOA_MAXRUN = 512).
         # Pixel offsets (the keys) are recomputed from the compacted npix
         # by one post-network prefix sum — one fewer payload riding all 15
@@ -447,7 +450,7 @@ def _front_compact_kernel(n_max, mode, *refs):
         d = jnp.where(
             v != 0, (flat - (incl - v)) | (npix << 16), ktools.HOLE
         )
-        d, (pays_c,) = ktools.butterfly_compact(d, [packed], 15)
+        d, (pays_c,) = ktools.butterfly_compact(d, [packed], nbits)
         npix_c = jnp.where(d >= 0, d >> 16, 0)
         pix_incl = ktools.lane_row_scan(npix_c, lambda a, c: a + c, 0)
         keys_c = pix_incl - npix_c + carry[_C_NPIX]
@@ -525,23 +528,29 @@ def _front_compact_kernel(n_max, mode, *refs):
             carry[_C_OPEND] = -1
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "mode"))
-def decode_front_compact(data, chunks_len, n_max, mode="alpha"):
+@functools.partial(jax.jit, static_argnames=("n_max", "mode", "rows"))
+def decode_front_compact(data, chunks_len, n_max, mode="alpha", rows=_R):
     """Front-end fused with op-stream compaction (non-compat).
 
     mode: "alpha" | "noalpha" (color) | "mono" (1/2-channel gray; packed
     payload carries gray in byte 0 and alpha in byte 3).
-    data: (B, M) uint8, M % 32768 == 0. Returns (keys (B, M+slack) int32 =
-    compacted pixel offsets, [packed] compacted payload list, totals (B,),
-    has_ref (B,)) — drop-in for pallas_engine.compact(frontend(...))."""
+    rows: byte-tile height (256 or 512): 512 halves the per-tile fixed
+    costs (append staging + DMA, carries, halo) at one extra stage in
+    each in-tile scan/butterfly — worth it for multi-tile streams.
+    data: (B, M) uint8, M % (rows*128) == 0. Returns (keys (B, M+slack)
+    int32 = compacted pixel offsets, [packed] compacted payload list,
+    totals (B,), has_ref (B,)) — drop-in for
+    pallas_engine.compact(frontend(...))."""
     assert mode in ("alpha", "noalpha", "mono"), mode
     b, m = data.shape
+    _TILE = rows * _L
+    _OBUF_ROWS = rows + 8
     t = m // _TILE
     rows_out = m // _L + _OBUF_ROWS
     d8 = data.reshape(b, m // _L, _L)
-    d8 = jnp.pad(d8, ((0, 0), (0, _RH + 7), (0, 0)))
+    d8 = jnp.pad(d8, ((0, 0), (0, rows + 8), (0, 0)))
 
-    kern = functools.partial(_front_compact_kernel, n_max, mode)
+    kern = functools.partial(_front_compact_kernel, n_max, mode, rows)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scal_spec = pl.BlockSpec(
@@ -558,7 +567,7 @@ def decode_front_compact(data, chunks_len, n_max, mode="alpha"):
             shaped((b, 8, _L)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, _RH + 7, _L), jnp.uint8),
+            pltpu.VMEM((2, rows + 8, _L), jnp.uint8),
             pltpu.VMEM((2, _OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((2, _OBUF_ROWS, _L), jnp.int32),
             pltpu.VMEM((2, _L), jnp.int32),
