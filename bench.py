@@ -69,6 +69,7 @@ def _large_photo(lw, lh):
     slab = 1250
     xx = np.arange(lw, dtype=np.float32)[None, :]
     for y0 in range(0, lh, slab):
+        slab = min(slab, lh - y0)
         yy = np.arange(y0, y0 + slab, dtype=np.float32)[:, None]
         base = np.stack(
             [
@@ -85,6 +86,111 @@ def _large_photo(lw, lh):
         img = np.where(m[..., None], np.round(base / 16) * 16, img)
         out[y0 : y0 + slab] = np.clip(img, 0, 255).astype(np.uint8)
     return out.reshape(-1)
+
+
+def xlarge_leg(dim=None, runs=3):
+    """400 Mpx single-call leg — the reference's hard cap (seqoia.h:428-432).
+
+    20000x20000 is exactly 400e6 and REJECTED (height >= 400e6/width), so
+    the maximal legal shape at width 20000 is 20000x19999. Device-resident
+    compute only: the end-to-end story is the 100 Mpx leg's; this leg
+    proves the single-call ceiling decodes/encodes at speed with parity
+    checked on device (uploading the oracle beats fetching 1.2 GB back
+    through the tunnel). Standalone so it can be smoke-run at a small
+    `dim` without the rest of the bench."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    import seqoia_tpu as sq
+    from seqoia_tpu import native, spec
+    from seqoia_tpu.codec import decode_v2, encode_v2
+    from seqoia_tpu.ops import pallas_pack
+
+    def timed(fn, args, n=runs):
+        float(fn(args))
+        best = 1e9
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(fn(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    @jax.jit
+    def rows_equal(ou8, oracle, olen):
+        keep = jnp.arange(ou8.shape[0], dtype=jnp.int32) < olen
+        return jnp.all((ou8 == oracle) | ~keep)
+
+    xw = int(dim or os.environ.get("SEQOIA_BENCH_XLARGE_DIM", "20000"))
+    xh = xw - 1
+    xn = xw * xh
+    xpix = _large_photo(xw, xh)
+    xdesc = sq.SqoaDesc(xw, xh, 3, 0, 0)
+    _note("xlarge oracle encode")
+    xoracle = native.encode(xpix, xw, xh, 3, 0, 0)
+
+    # decode compute + device-side parity
+    m_pad = _bucket(len(xoracle))
+    n_max = _bucket(xn)
+    buf = np.zeros((1, m_pad), np.uint8)
+    buf[0, : len(xoracle)] = np.frombuffer(xoracle, np.uint8)
+    xarr = jax.device_put(jnp.asarray(buf))
+    del buf
+    xdfn = jax.jit(functools.partial(
+        decode_v2.decode_stream_batched, colch=3, compat=False,
+        out_ch=3, n_max=int(n_max), emit="words", src_alpha=False))
+    xclen = jnp.full((1,), len(xoracle) - spec.PADDING_SIZE, jnp.int32)
+    xnpx = jnp.full((1,), xn, jnp.int32)
+
+    def xdec_run(d):
+        out, _ = xdfn(d, xclen, xnpx)
+        return jnp.sum(out[:, ::4097].astype(jnp.float32))
+
+    _note("xlarge decode")
+    t_xd = timed(jax.jit(xdec_run), xarr)
+    words, _ = xdfn(xarr, xclen, xnpx)
+    # compare in int32 WORD space: a device bitcast to (1, N, 4) uint8
+    # puts the 4-channel axis minor, whose T(8,128) tiled layout pads 32x
+    # (38 GB at 400 Mpx). xn*3 % 4 == 0 because xw % 4 == 0, so the valid
+    # region is word-aligned and the host .view is free.
+    assert xw % 4 == 0
+    nw = xn * 3 // 4
+    exp = np.zeros(int(words.shape[1]) * 4, np.uint8)
+    exp[: xn * 3] = xpix
+    xdec_ok = bool(jax.device_get(rows_equal(
+        words.reshape(-1), jnp.asarray(exp.view("<i4")), jnp.int32(nw))))
+    del words, exp, xarr
+
+    # encode compute + device-side parity (masked compare vs oracle)
+    _note("xlarge encode")
+    packed = pallas_pack.normalize_pixels_device(xpix, xdesc)
+    packed.block_until_ready()
+    xcap = spec.cap_bucket(len(xoracle) * 9 // 8)
+    xefn = jax.jit(functools.partial(
+        encode_v2.encode_stream_flat, colch=3, has_alpha=False,
+        out_cap=int(xcap)))
+
+    def xenc_run(p):
+        out, tot = xefn(p, jnp.int32(xn))
+        return jnp.sum(out[::65537].astype(jnp.float32)) + tot
+
+    t_xe = timed(jax.jit(xenc_run), packed)
+    out, tot = xefn(packed, jnp.int32(xn))
+    body = np.frombuffer(xoracle, np.uint8)[spec.HEADER_SIZE + 1 :]
+    oexp = np.zeros(int(out.shape[0]), np.uint8)
+    oexp[: len(body)] = body
+    xenc_ok = bool(jax.device_get(rows_equal(
+        out, jnp.asarray(oexp), jnp.int32(len(body)))))
+    xenc_ok = xenc_ok and int(jax.device_get(tot)) == len(body)
+    return {
+        "xlarge_mpx": round(xn / 1e6, 1),
+        "xlarge_decode_compute_mpxs": round(xn / t_xd / 1e6, 1),
+        "xlarge_encode_compute_mpxs": round(xn / t_xe / 1e6, 1),
+        "xlarge_parity": bool(xdec_ok and xenc_ok),
+    }
 
 
 def main():
@@ -681,6 +787,12 @@ def main():
             ),
         }
         del lpix, stream, loracle, lback, packed
+
+    # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
+    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1":
+        _note("xlarge 400 Mpx section")
+        gc.collect()
+        large.update(xlarge_leg())
 
     # --- per-category table (sqoabench.c:350-389 style) ---------------------
     raw_total = sum(c[2] for c in cats.values())
