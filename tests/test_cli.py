@@ -5,14 +5,12 @@ Everything runs on the native backend so the module is CPU-only and fast;
 the TPU pipeline behind the same commands is covered by the codec suites.
 """
 
-import io
 import os
-import sys
 
 import numpy as np
 import pytest
 
-from seqoia_tpu import cli, native, spec
+from seqoia_tpu import cli, native
 from seqoia_tpu.io import png as pngio
 
 
@@ -89,9 +87,12 @@ def test_convert_rejects_unknown_extensions(tmp_path):
     src = str(tmp_path / "in.png")
     _write_png(src, 8, 8, 3)
     assert cli.main(["convert", "--native", src, str(tmp_path / "x.gif")]) == 1
-    assert cli.main(
-        ["convert", "--native", str(tmp_path / "x.bmp"), "out.sqoa"]
-    ) == 1
+    # input rejection is about the extension, not a missing file: the .bmp
+    # exists on disk and is still refused
+    bmp = str(tmp_path / "x.bmp")
+    with open(bmp, "wb") as f:
+        f.write(b"BM" + b"\0" * 64)
+    assert cli.main(["convert", "--native", bmp, "out.sqoa"]) == 1
 
 
 def test_bench_harness_directory(tmp_path, capsys):
