@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """seqoia_tpu benchmark: aggregate codec throughput on one chip.
 
-Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
-plus a per-category table (sqoabench.c:350-389 style, with decode/encode
-Mpx/s + size + rate columns vs qoi) to stderr.
+Emits the result JSON line to stdout INCREMENTALLY: as soon as the core
+sqoa decode number exists a complete record is printed, and every section
+that completes afterwards re-prints a superset record (the driver parses
+the last JSON line; a timeout truncates extras instead of erasing the
+headline — the reference's harness likewise always prints its totals,
+sqoabench.c:637-678). A wall budget (``SEQOIA_BENCH_BUDGET`` seconds,
+default 1200) gates the optional sections so the run finishes inside the
+driver's window; skipped sections are listed in the record.
 
 Baseline: the reference's single-core sqoa decode grand total, 246.25 Mpx/s
 on Apple M1 (BASELINE.md); vs_baseline = aggregate decode Mpx/s / 246.25.
@@ -13,24 +17,36 @@ Methodology mirrors sqoabench (reference: sqoabench.c:394-406) adapted to a
 batched accelerator: the corpus is encoded by the (reference-pinned) native
 oracle, streams are staged device-resident per shape bucket, all bucket
 dispatches fuse into one jitted program (one host round-trip per timed
-run), kernels are compiled once, then timed over `SEQOIA_BENCH_RUNS`
+run), kernels are compiled once, then timed over ``SEQOIA_BENCH_RUNS``
 repeats with one discarded warmup; synchronization reads back a single
 scalar. Byte-exact parity is verified for every image before any timing
-counts. Reported alongside:
+counts — ON DEVICE, inside the fused program's warmup run: the expected
+bytes upload (H2D ~1.7 GB/s here) and a masked row-equality reduces to one
+bool per image, so parity costs no extra dispatches and no multi-GB D2H.
+The decode expectation needs no host decodes at all: the streams come from
+the reference-pinned oracle encoder, so byte-exact decode parity against
+the *original pixels* is exactly the roundtrip contract
+(sqoabench.c:448-455 memcmp's the same way).
+
+Reported alongside (each section budget-gated, record re-emitted after):
 
 * per-category decode/encode Mpx/s (each category timed as its own fused
-  program — regressions localize, sqoabench.c:350-389);
+  program — regressions localize, sqoabench.c:350-389) + ``vs_prev``
+  against the last captured BENCH artifact;
 * the `.qoi` half of the format (reference: sqoabench.c:469-539): compat
   decode/encode through the production dispatch (host pool across cores;
   the TPU fixpoint leg reports separately with its convergence rate);
-* the public batched API path (`corpus_decode`/`corpus_encode`) end to
-  end, including staging/transfers;
 * the 100 Mpx single image (BASELINE config 5) split into device-resident
   compute (pre-staged input, scalar-fenced) and end-to-end wall clock —
-  on this box the axon tunnel's ~13 MB/s-per-stream D2H dominates e2e.
+  on this box the axon tunnel's ~13 MB/s-per-stream D2H dominates e2e;
+* the public batched API path (`corpus_decode`/`corpus_encode`) end to
+  end with its staging/compute/fetch split;
+* the 400 Mpx single-call ceiling (seqoia.h:428-432).
 """
 
 import functools
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -46,6 +62,8 @@ BASELINE_ENCODE_MPXS = 147.46
 BASELINE_QOI_DECODE_MPXS = 244.82  # bench10.txt:122
 BASELINE_QOI_ENCODE_MPXS = 190.69
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 
 def _note(msg):
     """Progress marker on stderr (the JSON contract owns stdout). The
@@ -59,6 +77,66 @@ def _bucket(x, mult=32768):
     """Round up to a tile multiple — tighter than pow2 (less padded work),
     still few distinct shapes per corpus."""
     return max(-(-int(x) // mult) * mult, mult)
+
+
+class _Budget:
+    """Wall budget for the whole bench run. Optional sections ask
+    ``ok(estimate)`` before starting; the reserve keeps the final record
+    emission (and the section in flight) inside the window."""
+
+    def __init__(self, total_s, reserve_s=45.0):
+        self.t0 = time.monotonic()
+        self.total = total_s
+        self.reserve = reserve_s
+
+    def elapsed(self):
+        return time.monotonic() - self.t0
+
+    def remaining(self):
+        return self.total - self.elapsed()
+
+    def ok(self, estimate_s):
+        return self.remaining() - self.reserve > estimate_s
+
+
+class _Emitter:
+    """Accumulates the result record; every ``emit`` prints the full JSON
+    on its own stdout line (flushed), so whatever line is last when the
+    driver's window closes is a complete, parseable record."""
+
+    def __init__(self):
+        self.rec = {}
+        self.skipped = []
+
+    def update(self, **fields):
+        self.rec.update(fields)
+
+    def emit(self, budget, final=False):
+        out = dict(self.rec)
+        out["elapsed_s"] = round(budget.elapsed(), 1)
+        if self.skipped:
+            out["sections_skipped"] = list(self.skipped)
+        out["partial"] = not final
+        print(json.dumps(out), flush=True)
+
+
+def _load_prev_record():
+    """Newest driver-captured BENCH_r*.json with a parsed record — the
+    fail-soft regression base for vs_prev (VERDICT r3 ask #7)."""
+    import glob
+
+    best_n, best = -1, None
+    for p in glob.glob(os.path.join(_HERE, "BENCH_r*.json")):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        parsed = rec.get("parsed")
+        n = rec.get("n", 0)
+        if isinstance(parsed, dict) and "decode_mpxs" in parsed and n > best_n:
+            best_n, best = n, parsed
+    return best
 
 
 def _large_photo(lw, lh):
@@ -88,6 +166,128 @@ def _large_photo(lw, lh):
     return out.reshape(-1)
 
 
+def _native_src():
+    return open(
+        os.path.join(_HERE, "seqoia_tpu/native/sqoa_native.c"), "rb"
+    ).read()
+
+
+def _large_assets(lw, lh):
+    """(pixels, oracle stream) for the single-large-image legs, disk-cached:
+    the host oracle encodes ~78 Mpx/s on this box, so a 400 Mpx oracle costs
+    ~5 min per run uncached. Keyed by the generator source + the native
+    runtime source (auto-invalidates when either changes)."""
+    from seqoia_tpu import native
+
+    key = hashlib.sha1(
+        inspect.getsource(_large_photo).encode()
+        + _native_src() + f"{lw}x{lh}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(_HERE, f".bench_cache_L{key}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["pixels"], z["stream"].tobytes()
+    _note(f"large-asset cache miss: generating {lw}x{lh} + oracle encode")
+    pix = _large_photo(lw, lh)
+    stream = native.encode(pix, lw, lh, 3, 0, 0)
+    np.savez(path, pixels=pix, stream=np.frombuffer(stream, np.uint8))
+    return pix, stream
+
+
+def _corpus_assets(scale):
+    """(corpus, streams, qoi_streams) with split disk caches: pixels keyed
+    by the corpus generator + scale, oracle streams keyed additionally by
+    the native runtime source — a native change re-encodes streams (~10 s)
+    without regenerating pixels (tens of minutes at scale 64)."""
+    from seqoia_tpu import native
+    from seqoia_tpu.utils import corpus as corpus_mod
+    from seqoia_tpu.utils import make_corpus
+
+    corpus_src = open(corpus_mod.__file__, "rb").read()
+    pix_key = hashlib.sha1(
+        corpus_src + str(scale).encode()
+    ).hexdigest()[:16]
+    pix_path = os.path.join(_HERE, f".bench_cache_P{pix_key}.npz")
+    str_key = hashlib.sha1(
+        (pix_key.encode()) + _native_src()
+    ).hexdigest()[:16]
+    str_path = os.path.join(_HERE, f".bench_cache_S{str_key}.npz")
+
+    corpus = None
+    if os.path.exists(pix_path):
+        z = np.load(pix_path, allow_pickle=False)
+        pix_cat, lens, meta, cats_arr = (
+            z["pixels"], z["pix_lens"], z["meta"], z["cats"]
+        )
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        corpus = [
+            (pix_cat[offs[i] : offs[i + 1]], int(meta[i, 0]),
+             int(meta[i, 1]), int(meta[i, 2]), str(cats_arr[i]))
+            for i in range(len(lens))
+        ]
+    else:
+        # migration: the pre-round-4 combined cache (pixels + streams keyed
+        # together) holds the same deterministic pixels — split it instead
+        # of regenerating
+        old_key = hashlib.sha1(
+            corpus_src + _native_src() + str(scale).encode()
+        ).hexdigest()[:16]
+        old_path = os.path.join(_HERE, f".bench_cache_{old_key}.npz")
+        if os.path.exists(old_path):
+            _note("migrating combined bench cache to split caches")
+            z = np.load(old_path, allow_pickle=False)
+            np.savez(pix_path, pixels=z["pixels"], pix_lens=z["pix_lens"],
+                     meta=z["meta"], cats=z["cats"])
+            np.savez(str_path, streams=z["streams"],
+                     stream_lens=z["stream_lens"], qstreams=z["qstreams"],
+                     qstream_lens=z["qstream_lens"])
+            return _corpus_assets(scale)
+        _note(f"corpus cache miss: generating at scale {scale}")
+        corpus = make_corpus(scale, labels=True)
+        np.savez(
+            pix_path,
+            pixels=np.concatenate([p for p, *_ in corpus]),
+            pix_lens=np.array([len(p) for p, *_ in corpus], np.int64),
+            meta=np.array([(w, h, ch) for _, w, h, ch, _ in corpus],
+                          np.int64),
+            cats=np.array([c for *_, c in corpus]),
+        )
+
+    if os.path.exists(str_path):
+        z = np.load(str_path, allow_pickle=False)
+        s_cat, s_lens = z["streams"], z["stream_lens"]
+        soffs = np.concatenate([[0], np.cumsum(s_lens)])
+        streams = [
+            s_cat[soffs[i] : soffs[i + 1]].tobytes()
+            for i in range(len(s_lens))
+        ]
+        q_cat, q_lens = z["qstreams"], z["qstream_lens"]
+        qoffs = np.concatenate([[0], np.cumsum(q_lens)])
+        qoi_streams = [
+            q_cat[qoffs[i] : qoffs[i + 1]].tobytes() if q_lens[i] else None
+            for i in range(len(q_lens))
+        ]
+    else:
+        _note("stream cache miss: oracle-encoding corpus")
+        streams = [
+            native.encode(p, w, h, ch, 0, 0) for p, w, h, ch, _ in corpus
+        ]
+        qoi_streams = [
+            native.encode(p, w, h, ch, 0, 1) if ch not in (1, 2) else None
+            for p, w, h, ch, _ in corpus
+        ]
+        np.savez(
+            str_path,
+            streams=np.frombuffer(b"".join(streams), np.uint8),
+            stream_lens=np.array([len(s) for s in streams], np.int64),
+            qstreams=np.frombuffer(
+                b"".join(q for q in qoi_streams if q), np.uint8),
+            qstream_lens=np.array(
+                [len(q) if q else 0 for q in qoi_streams], np.int64),
+        )
+    return corpus, streams, qoi_streams
+
+
 def xlarge_leg(dim=None, runs=3):
     """400 Mpx single-call leg — the reference's hard cap (seqoia.h:428-432).
 
@@ -101,12 +301,12 @@ def xlarge_leg(dim=None, runs=3):
     import jax
     import jax.numpy as jnp
 
+    _platform_override()
     jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        "jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache")
     )
     import seqoia_tpu as sq
-    from seqoia_tpu import native, spec
+    from seqoia_tpu import spec
     from seqoia_tpu.codec import decode_v2, encode_v2
     from seqoia_tpu.ops import pallas_pack
 
@@ -127,10 +327,8 @@ def xlarge_leg(dim=None, runs=3):
     xw = int(dim or os.environ.get("SEQOIA_BENCH_XLARGE_DIM", "20000"))
     xh = xw - 1
     xn = xw * xh
-    xpix = _large_photo(xw, xh)
+    xpix, xoracle = _large_assets(xw, xh)
     xdesc = sq.SqoaDesc(xw, xh, 3, 0, 0)
-    _note("xlarge oracle encode")
-    xoracle = native.encode(xpix, xw, xh, 3, 0, 0)
 
     # decode compute + device-side parity
     m_pad = _bucket(len(xoracle))
@@ -193,87 +391,37 @@ def xlarge_leg(dim=None, runs=3):
     }
 
 
+def _platform_override():
+    """Honor SEQOIA_BENCH_PLATFORM (e.g. cpu smoke tests): the axon
+    sitecustomize re-pins JAX_PLATFORMS, so jax.config is the switch."""
+    plat = os.environ.get("SEQOIA_BENCH_PLATFORM", "")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main():
+    budget = _Budget(float(os.environ.get("SEQOIA_BENCH_BUDGET", "1200")))
+    em = _Emitter()
+
     import jax
     import jax.numpy as jnp
 
+    _platform_override()
     jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        "jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache")
     )
 
     import seqoia_tpu as sq
     from seqoia_tpu import native, spec
     from seqoia_tpu.codec import decode_v2, encode_v2, encode_jax
-    from seqoia_tpu.utils import make_corpus
 
     scale = float(os.environ.get("SEQOIA_BENCH_SCALE", "64.0"))
     runs = int(os.environ.get("SEQOIA_BENCH_RUNS", "5"))
+    prev = _load_prev_record()
 
-    # --- corpus + oracle streams, disk-cached -------------------------------
-    # Generation + single-core oracle encoding costs tens of minutes at
-    # scale 64; both are deterministic, so cache them keyed by the corpus
-    # generator + native-runtime sources (auto-invalidates on changes).
-    import hashlib
-
-    from seqoia_tpu.utils import corpus as corpus_mod
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    key_src = (
-        open(corpus_mod.__file__, "rb").read()
-        + open(os.path.join(here, "seqoia_tpu/native/sqoa_native.c"),
-               "rb").read()
-        + str(scale).encode()
-    )
-    cache_path = os.path.join(
-        here, f".bench_cache_{hashlib.sha1(key_src).hexdigest()[:16]}.npz"
-    )
-    if os.path.exists(cache_path):
-        z = np.load(cache_path, allow_pickle=False)
-        pix_cat = z["pixels"]
-        lens = z["pix_lens"]
-        meta = z["meta"]  # (n, 3) w,h,ch
-        cats_arr = z["cats"]
-        offs = np.concatenate([[0], np.cumsum(lens)])
-        corpus = [
-            (pix_cat[offs[i] : offs[i + 1]], int(meta[i, 0]),
-             int(meta[i, 1]), int(meta[i, 2]), str(cats_arr[i]))
-            for i in range(len(lens))
-        ]
-        s_cat, s_lens = z["streams"], z["stream_lens"]
-        soffs = np.concatenate([[0], np.cumsum(s_lens)])
-        streams = [
-            s_cat[soffs[i] : soffs[i + 1]].tobytes() for i in range(len(lens))
-        ]
-        q_cat, q_lens = z["qstreams"], z["qstream_lens"]
-        qoffs = np.concatenate([[0], np.cumsum(q_lens)])
-        qoi_streams = [
-            q_cat[qoffs[i] : qoffs[i + 1]].tobytes() if q_lens[i] else None
-            for i in range(len(lens))
-        ]
-    else:
-        corpus = make_corpus(scale, labels=True)
-        streams = [
-            native.encode(p, w, h, ch, 0, 0) for p, w, h, ch, _ in corpus
-        ]
-        qoi_streams = [
-            native.encode(p, w, h, ch, 0, 1) if ch not in (1, 2) else None
-            for p, w, h, ch, _ in corpus
-        ]
-        np.savez(
-            cache_path,
-            pixels=np.concatenate([p for p, *_ in corpus]),
-            pix_lens=np.array([len(p) for p, *_ in corpus], np.int64),
-            meta=np.array([(w, h, ch) for _, w, h, ch, _ in corpus],
-                          np.int64),
-            cats=np.array([c for *_, c in corpus]),
-            streams=np.frombuffer(b"".join(streams), np.uint8),
-            stream_lens=np.array([len(s) for s in streams], np.int64),
-            qstreams=np.frombuffer(
-                b"".join(q for q in qoi_streams if q), np.uint8),
-            qstream_lens=np.array(
-                [len(q) if q else 0 for q in qoi_streams], np.int64),
-        )
+    corpus, streams, qoi_streams = _corpus_assets(scale)
     total_px = sum(w * h for _, w, h, _, _ in corpus)
 
     cats = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, px, raw, sqoa, qoi
@@ -285,7 +433,6 @@ def main():
         c[3] += len(s)
         c[4] += len(q) if q is not None else 0
 
-    parity_ok = 0
     dec_buckets = defaultdict(list)
     enc_buckets = defaultdict(list)
     for i, ((pix, w, h, ch, cat), stream) in enumerate(zip(corpus, streams)):
@@ -296,8 +443,6 @@ def main():
                      n_max)].append(i)
         n_pad = _bucket(w * h)
         enc_buckets[(cat, desc.col_channels, desc.has_alpha, n_pad)].append(i)
-
-    sync = jax.jit(lambda o: jnp.sum(o.astype(jnp.float32)))
 
     def timed(fn, args, n=runs):
         """Best-of-n wall time of a jitted fn fenced by a scalar fetch."""
@@ -310,25 +455,17 @@ def main():
         return best
 
     # --- batched SQOA decode: staged device-resident, per bucket ------------
-    # Parity is checked ON DEVICE: the host oracle uploads (H2D ~1.7 GB/s
-    # through the axon tunnel) and a masked compare fetches one bool per
-    # image, instead of pulling the multi-GB decoded pixels back through
-    # the tunnel's ~13-37 MB/s computed-array D2H path.
+    # Parity is checked ON DEVICE inside the fused warmup: the expected
+    # pixels upload (H2D ~1.7 GB/s) and a masked compare reduces to one
+    # bool per image. The expectation IS the original pixels — the streams
+    # come from the reference-pinned oracle encoder, so decode parity
+    # against them is the roundtrip contract (sqoabench.c:448-455); no
+    # host decode passes needed.
     _note(f"decode staging: {len(dec_buckets)} buckets, "
           f"{total_px / 1e6:.0f} Mpx")
 
-    @functools.partial(jax.jit, static_argnames=())
-    def _rows_equal(out, oracle, olen):
-        if out.dtype != jnp.uint8:
-            ou8 = jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
-                out.shape[0], -1)
-        else:
-            ou8 = out.reshape(out.shape[0], -1)
-        keep = jnp.arange(ou8.shape[1], dtype=jnp.int32)[None, :] < (
-            olen[:, None])
-        return jnp.all((ou8 == oracle) | ~keep, axis=1)
-
     dec_plans = []
+    dec_oracle = []
     for (cat, colch, out_ch, m_pad, n_max), idxs in dec_buckets.items():
         b = len(idxs)
         buf = np.zeros((b, m_pad), np.uint8)
@@ -338,12 +475,12 @@ def main():
         olen = np.zeros(b, np.int32)
         for j, i in enumerate(idxs):
             s = streams[i]
+            pix, w, h, ch, _ = corpus[i]
             buf[j, : len(s)] = np.frombuffer(s, np.uint8)
             clens[j] = len(s) - spec.PADDING_SIZE
-            npx[j] = corpus[i][1] * corpus[i][2]
-            opix, _ = native.decode(s, 0)
-            oracle[j, : len(opix)] = opix
-            olen[j] = len(opix)
+            npx[j] = w * h
+            oracle[j, : len(pix)] = pix  # ch in 1..4: normalized == raw
+            olen[j] = len(pix)
         args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
         fn = functools.partial(
             decode_v2.decode_stream_batched,
@@ -351,13 +488,38 @@ def main():
             emit="words" if (n_max * out_ch) % 4 == 0 else "u8",
             src_alpha=(out_ch in (2, 4)),
         )
-        out, _ = fn(*args)
-        ok = _rows_equal(out, jnp.asarray(oracle), jnp.asarray(olen))
-        parity_ok += int(np.asarray(ok).sum())
-        del out, ok, oracle
+        dec_oracle.append((jnp.asarray(oracle), jnp.asarray(olen)))
+        del oracle
         dec_plans.append((cat, fn, args, sum(
             corpus[i][1] * corpus[i][2] for i in idxs)))
-    _note(f"decode staging done, parity {parity_ok}/{len(corpus)}")
+
+    def _row_parity(out, oracle, olen):
+        if out.dtype != jnp.uint8:
+            ou8 = jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
+                out.shape[0], -1)
+        else:
+            ou8 = out.reshape(out.shape[0], -1)
+        keep = jnp.arange(ou8.shape[1], dtype=jnp.int32)[None, :] < (
+            olen[:, None])
+        oracle = oracle.reshape(ou8.shape[0], -1)
+        return jnp.all((ou8 == oracle) | ~keep, axis=1)
+
+    @jax.jit
+    def dec_parity_all(all_args, oracles):
+        oks = []
+        for (_, fn, _, _), args, (oracle, olen) in zip(
+            dec_plans, all_args, oracles
+        ):
+            out, _ = fn(*args)
+            oks.append(_row_parity(out, oracle, olen))
+        return jnp.concatenate(oks)
+
+    _note("decode parity (fused warmup)")
+    parity_ok = int(np.asarray(jax.device_get(
+        dec_parity_all([a for _, _, a, _ in dec_plans], dec_oracle)
+    )).sum())
+    del dec_oracle
+    _note(f"decode parity {parity_ok}/{len(corpus)}")
 
     def fuse_decode(plans):
         @jax.jit
@@ -374,33 +536,35 @@ def main():
     t = timed(all_dec, [a for _, _, a, _ in dec_plans])
     decode_mpxs = total_px / t / 1e6
 
+    em.update(
+        metric="sqoa_batched_decode_throughput",
+        value=round(decode_mpxs / 1000.0, 6),
+        unit="GPix/s/chip",
+        vs_baseline=round(decode_mpxs / BASELINE_DECODE_MPXS, 4),
+        decode_mpxs=round(decode_mpxs, 2),
+        decode_parity_n=parity_ok,
+        corpus_mpx=round(total_px / 1e6, 2),
+        images=len(corpus),
+        device=str(jax.devices()[0]),
+    )
+    if prev:
+        em.update(vs_prev_decode=round(
+            decode_mpxs / prev["decode_mpxs"], 4))
+    em.emit(budget)
+
     trace_dir = os.environ.get("SEQOIA_BENCH_TRACE", "")
     if trace_dir:
         with jax.profiler.trace(os.path.join(trace_dir, "decode")):
             float(all_dec([a for _, _, a, _ in dec_plans]))
 
-    cat_dec = {}
-    by_cat = defaultdict(list)
-    for plan in dec_plans:
-        by_cat[plan[0]].append(plan)
-    for cat, plans in by_cat.items():
-        f = fuse_decode(plans)
-        tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
-        cat_dec[cat] = sum(p[3] for p in plans) / tc / 1e6
-
     # --- batched SQOA encode ------------------------------------------------
-    # Parity on device, same scheme as decode: upload the oracle payloads,
-    # require exact totals + masked byte equality, fetch one bool per image.
+    # Parity on device inside the fused warmup, same scheme as decode:
+    # upload the oracle payloads, require exact totals + masked byte
+    # equality, fetch one bool per image.
     _note(f"encode staging: {len(enc_buckets)} buckets")
 
-    @jax.jit
-    def _enc_rows_equal(out, totals, exp, elen):
-        keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
-            elen[:, None])
-        return (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
-
     enc_plans = []
-    enc_parity = 0
+    enc_oracle = []
     for (cat, colch, has_alpha, n_pad), idxs in enc_buckets.items():
         b = len(idxs)
         rgba = np.zeros((b, n_pad), np.int32)
@@ -427,13 +591,31 @@ def main():
             encode_v2.encode_stream_batched,
             colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
         )
-        out, totals = fn(*args)
-        ok = _enc_rows_equal(out, totals, jnp.asarray(exp), jnp.asarray(elen))
-        enc_parity += int(np.asarray(ok).sum())
-        del out, ok, exp
+        enc_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+        del exp, rgba
         enc_plans.append((cat, fn, args, sum(
             corpus[i][1] * corpus[i][2] for i in idxs)))
-    _note(f"encode staging done, parity {enc_parity}/{len(corpus)}")
+
+    @jax.jit
+    def enc_parity_all(all_args, oracles):
+        oks = []
+        for (_, fn, _, _), args, (exp, elen) in zip(
+            enc_plans, all_args, oracles
+        ):
+            out, totals = fn(*args)
+            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
+                elen[:, None])
+            oks.append(
+                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+            )
+        return jnp.concatenate(oks)
+
+    _note("encode parity (fused warmup)")
+    enc_parity = int(np.asarray(jax.device_get(
+        enc_parity_all([a for _, _, a, _ in enc_plans], enc_oracle)
+    )).sum())
+    del enc_oracle
+    _note(f"encode parity {enc_parity}/{len(corpus)}")
 
     def fuse_encode(plans):
         @jax.jit
@@ -454,347 +636,8 @@ def main():
         with jax.profiler.trace(os.path.join(trace_dir, "encode")):
             float(all_enc([a for _, _, a, _ in enc_plans]))
 
-    cat_enc = {}
-    by_cat_e = defaultdict(list)
-    for plan in enc_plans:
-        by_cat_e[plan[0]].append(plan)
-    for cat, plans in by_cat_e.items():
-        f = fuse_encode(plans)
-        tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
-        cat_enc[cat] = sum(p[3] for p in plans) / tc / 1e6
-
     parity_pct = 100.0 * (parity_ok + enc_parity) / (2 * len(corpus))
 
-    # release the sqoa staging before the API/qoi/large sections — each of
-    # those stages multi-GB device buffers of its own
-    del dec_plans, enc_plans, args
-    import gc
-
-    gc.collect()
-
-    # --- public API path (corpus_decode / corpus_encode, end to end) --------
-    from seqoia_tpu.parallel import batch as pbatch
-
-    api = {}
-    if os.environ.get("SEQOIA_BENCH_API", "1") == "1":
-        _note("API path section")
-        descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
-        imgs = [p for p, *_ in corpus]
-        dec = pbatch.BatchDecoder()
-        enc = pbatch.BatchEncoder()
-        dec(streams)  # warm: compiles + cap estimates
-        enc(imgs, descs)
-        t0 = time.perf_counter()
-        res = dec(streams)
-        api_dec_t = time.perf_counter() - t0
-        assert all(r.pixels is not None for r in res)
-        t0 = time.perf_counter()
-        res_e = enc(imgs, descs)
-        api_enc_t = time.perf_counter() - t0
-        assert all(r is not None for r in res_e)
-        api = {
-            "api_decode_mpxs": round(total_px / api_dec_t / 1e6, 1),
-            "api_encode_mpxs": round(total_px / api_enc_t / 1e6, 1),
-        }
-        del res, res_e
-
-    # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
-    # Both dispatches are timed and the winner is the headline: the host
-    # pool scales with cores (this box has ONE, capping it at ~0.7x the
-    # reference's M1 core), the TPU kernel path with the chip.
-    qoi = {}
-    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1":
-        _note("qoi section")
-        from seqoia_tpu.codec import decode_compat
-
-        q_items = [
-            (i, q) for i, q in enumerate(qoi_streams) if q is not None
-        ]
-        q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
-        # the host legs are single-threaded per core; sample ~120 Mpx so
-        # the pool timing doesn't dominate bench wall time at large scales
-        hs_items, hs_px = [], 0
-        for i, q in q_items:
-            hs_items.append((i, q))
-            hs_px += corpus[i][1] * corpus[i][2]
-            if hs_px >= 120e6:
-                break
-        qdec = pbatch.BatchDecoder()
-        hstreams = [q for _, q in hs_items]
-        qres = qdec(hstreams)  # warm + parity sentinel
-        q_dec_ok = sum(r.pixels is not None for r in qres)
-        del qres
-        t0 = time.perf_counter()
-        qdec(hstreams)
-        q_dec_t = time.perf_counter() - t0
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        def qenc(arg):
-            i, _ = arg
-            p, w, h, ch, _ = corpus[i]
-            return native.encode(p, w, h, ch, 0, 1)
-
-        workers = os.cpu_count() or 8
-        if workers <= 1:
-            t0 = time.perf_counter()
-            for it in hs_items:
-                qenc(it)
-            q_enc_t = time.perf_counter() - t0
-        else:
-            with ThreadPoolExecutor(workers) as ex:
-                t0 = time.perf_counter()
-                list(ex.map(qenc, hs_items))
-                q_enc_t = time.perf_counter() - t0
-
-        # on-box reference speeds: the genuine reference header, compiled
-        # from its read-only mount and timed on this host's core, is the
-        # apples-to-apples bar — the published 244.82/190.69 Mpx/s are an
-        # Apple M1 core (bench10.txt:122), not this machine
-        ref_onbox = {}
-        try:
-            import ctypes as _ct
-            import subprocess as _sp
-
-            _sp.run(
-                ["cc", "-O3", "-std=c11", "-shared", "-fPIC", "-w",
-                 "-o", "/tmp/librefprobe_bench.so",
-                 '-DSQOA_REFERENCE_HEADER="/root/reference/seqoia.h"',
-                 os.path.join(here, "tools", "refprobe.c")],
-                check=True, capture_output=True)
-            _lib = _ct.CDLL("/tmp/librefprobe_bench.so")
-            _u8p = _ct.POINTER(_ct.c_uint8)
-            _u32p = _ct.POINTER(_ct.c_uint32)
-            _lib.ref_decode.restype = _ct.c_int64
-            _lib.ref_decode.argtypes = [_u8p, _ct.c_int64, _ct.c_int, _u8p,
-                                        _ct.c_int64, _u32p]
-            _lib.ref_encode.restype = _ct.c_int64
-            _out = np.empty(256_000_000, np.uint8)
-            _dsc = np.zeros(5, np.uint32)
-            _bufs = [np.frombuffer(bytearray(q), np.uint8)
-                     for _, q in hs_items]
-            t0 = time.perf_counter()
-            for _b in _bufs:
-                _lib.ref_decode(_b.ctypes.data_as(_u8p), len(_b), 0,
-                                _out.ctypes.data_as(_u8p), len(_out),
-                                _dsc.ctypes.data_as(_u32p))
-            ref_onbox["qoi_ref_onbox_decode_mpxs"] = round(
-                hs_px / (time.perf_counter() - t0) / 1e6, 1)
-        except Exception:  # cc missing etc — the numbers are optional
-            pass
-
-        # TPU fixpoint decode over every color bucket (device-resident,
-        # same methodology as the sqoa numbers); unconverged rows would
-        # take the host fallback in production — convergence is reported.
-        # Buckets sub-batch so the fixpoint's ~20x-stream working set
-        # stays well inside HBM (rows per launch capped by stream bytes).
-        fp_buckets = defaultdict(list)
-        for i, q in q_items:
-            fp_buckets[(_bucket(len(q)), _bucket(corpus[i][1] * corpus[i][2]))
-                       ].append(i)
-        fp_plans = []
-        fp_conv = 0
-        for (m_pad, n_max), all_idxs in fp_buckets.items():
-            b_cap = max(1, (24 << 20) // m_pad)
-            for c0 in range(0, len(all_idxs), b_cap):
-                idxs = all_idxs[c0 : c0 + b_cap]
-                b = b_cap if len(all_idxs) > b_cap else len(idxs)
-                buf = np.zeros((b, m_pad), np.uint8)
-                cl = np.zeros(b, np.int32)
-                npx = np.zeros(b, np.int32)
-                for j, i in enumerate(idxs):
-                    q = qoi_streams[i]
-                    buf[j, : len(q)] = np.frombuffer(q, np.uint8)
-                    cl[j] = len(q) - spec.PADDING_SIZE
-                    npx[j] = corpus[i][1] * corpus[i][2]
-                fargs = (jnp.asarray(buf), jnp.asarray(cl), jnp.asarray(npx))
-                ffn = functools.partial(
-                    decode_compat.decode_stream_compat_batched,
-                    colch=3, out_ch=4, n_max=int(n_max))
-                out, conv = ffn(*fargs)
-                float(sync(out))
-                fp_conv += int(np.sum(np.asarray(conv)[: len(idxs)]))
-                fp_plans.append((ffn, fargs))
-                del out
-
-        @jax.jit
-        def _fp_all(all_args):
-            acc = jnp.float32(0)
-            for (ffn, _), a in zip(fp_plans, all_args):
-                out, _ = ffn(*a)
-                acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
-            return acc
-
-        tfp = timed(_fp_all, [a for _, a in fp_plans])
-        fp_mpxs = q_px / tfp / 1e6
-        # production-honest hybrid: unconverged rows re-decode on the host
-        # pool, so their pixels are charged at the measured host rate
-        unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
-
-        # TPU compat encode (slot last-writer hash resolution), bucketed
-        # and sub-batched like the fixpoint leg; the fixpoint staging is
-        # released first
-        del fp_plans
-        gc.collect()
-        qe_buckets = defaultdict(list)
-        for i, q in q_items:
-            d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
-            qe_buckets[(d.has_alpha, _bucket(d.n_pixels))].append(i)
-        qe_plans = []
-        qe_parity = 0
-        for (has_alpha, n_pad), all_idxs in qe_buckets.items():
-            b_cap = max(1, (24 << 20) // n_pad)
-            for c0 in range(0, len(all_idxs), b_cap):
-                idxs = all_idxs[c0 : c0 + b_cap]
-                b = b_cap if len(all_idxs) > b_cap else len(idxs)
-                rgba = np.zeros((b, n_pad), np.int32)
-                nval = np.zeros(b, np.int32)
-                for j, i in enumerate(idxs):
-                    p, w, h, ch, _ = corpus[i]
-                    d = sq.SqoaDesc(w, h, ch, 0, 1)
-                    rgba[j, : w * h] = encode_jax.normalize_pixels_packed(
-                        p, d)
-                    nval[j] = w * h
-                cap = spec.cap_bucket(
-                    max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
-                eargs = (jnp.asarray(rgba), jnp.asarray(nval))
-                efn = functools.partial(
-                    encode_v2.encode_stream_batched,
-                    colch=3, has_alpha=bool(has_alpha), compat=True,
-                    out_cap=int(cap))
-                out, totals = efn(*eargs)
-                float(sync(out))
-                oh, th = np.asarray(out), np.asarray(totals)
-                for j, i in enumerate(idxs):
-                    d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
-                    qe_parity += (
-                        spec.pack_header(d) + oh[j, : th[j]].tobytes()
-                    ) == qoi_streams[i]
-                qe_plans.append((efn, eargs))
-                del out, oh
-
-        @jax.jit
-        def _qe_all(all_args):
-            acc = jnp.float32(0)
-            for (efn, _), a in zip(qe_plans, all_args):
-                out, _ = efn(*a)
-                acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
-            return acc
-
-        tqe = timed(_qe_all, [a for _, a in qe_plans])
-        qe_mpxs = q_px / tqe / 1e6
-
-        host_dec = hs_px / q_dec_t / 1e6
-        host_enc = hs_px / q_enc_t / 1e6
-        hybrid_dec = q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6
-        best_dec = max(host_dec, hybrid_dec)
-        best_enc = max(host_enc, qe_mpxs)
-        qoi = {
-            "qoi_decode_mpxs": round(best_dec, 1),
-            "qoi_encode_mpxs": round(best_enc, 1),
-            "qoi_decode_dispatch": (
-                "tpu+fallback" if hybrid_dec > host_dec else "host"),
-            "qoi_encode_dispatch": "tpu" if qe_mpxs > host_enc else "host",
-            "qoi_decode_vs_ref": round(best_dec / BASELINE_QOI_DECODE_MPXS, 2),
-            "qoi_encode_vs_ref": round(best_enc / BASELINE_QOI_ENCODE_MPXS, 2),
-            "qoi_host_decode_mpxs": round(host_dec, 1),
-            "qoi_host_encode_mpxs": round(host_enc, 1),
-            "qoi_tpu_decode_mpxs": round(fp_mpxs, 1),
-            "qoi_tpu_encode_mpxs": round(qe_mpxs, 1),
-            "qoi_tpu_converged_pct": round(100.0 * fp_conv / len(q_items), 1),
-            "qoi_tpu_encode_parity_n": qe_parity,
-            "qoi_host_parity_n": q_dec_ok,
-            "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
-            **ref_onbox,
-        }
-        if "qoi_ref_onbox_decode_mpxs" in ref_onbox:
-            qoi["qoi_decode_vs_ref_onbox"] = round(
-                best_dec / ref_onbox["qoi_ref_onbox_decode_mpxs"], 2)
-        del qe_plans
-
-    gc.collect()
-
-    # --- large single image (100 Mpx, BASELINE config 5) --------------------
-    large = {}
-    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1":
-        _note("large-image section")
-        from seqoia_tpu.parallel import tiled
-        from seqoia_tpu.ops import pallas_pack
-
-        lw = lh = 10000
-        lpix = _large_photo(lw, lh)
-        ldesc = sq.SqoaDesc(lw, lh, 3, 0, 0)
-        loracle = native.encode(lpix, lw, lh, 3, 0, 0)
-
-        # device-resident encode compute: pre-staged packed pixels, exact
-        # cap (the steady-state adaptive cap), scalar-fenced
-        packed = pallas_pack.normalize_pixels_device(lpix, ldesc)
-        packed.block_until_ready()
-        n = lw * lh
-        cap = spec.cap_bucket(len(loracle) * 9 // 8)
-        efn = jax.jit(functools.partial(
-            encode_v2.encode_stream_flat, colch=3, has_alpha=False,
-            out_cap=int(cap)))
-
-        def enc_run(p):
-            out, tot = efn(p, jnp.int32(n))
-            return jnp.sum(out[::65537].astype(jnp.float32)) + tot
-
-        enc_run_j = jax.jit(enc_run)
-        t_ec = timed(enc_run_j, packed, n=3)
-
-        # end-to-end encode (host bytes in, file bytes out)
-        stream = tiled.encode_large(lpix, ldesc)  # warm compiles
-        t0 = time.perf_counter()
-        stream = tiled.encode_large(lpix, ldesc)
-        t_ee = time.perf_counter() - t0
-
-        # device-resident decode compute
-        m_pad = _bucket(len(loracle))
-        n_max = _bucket(n)
-        buf = np.zeros((1, m_pad), np.uint8)
-        buf[0, : len(loracle)] = np.frombuffer(loracle, np.uint8)
-        darr = jax.device_put(jnp.asarray(buf))
-        dfn = jax.jit(functools.partial(
-            decode_v2.decode_stream_batched, colch=3, compat=False,
-            out_ch=3, n_max=int(n_max), emit="words", src_alpha=False))
-
-        def dec_run(d):
-            out, _ = dfn(d, jnp.full((1,), len(loracle) - spec.PADDING_SIZE,
-                                     jnp.int32),
-                         jnp.full((1,), n, jnp.int32))
-            return jnp.sum(out[:, ::4097].astype(jnp.float32))
-
-        dec_run_j = jax.jit(dec_run)
-        t_dc = timed(dec_run_j, darr, n=3)
-        del darr
-
-        # end-to-end decode
-        lback, _ = tiled.decode_large(loracle, 0)  # warm
-        t0 = time.perf_counter()
-        lback, _ = tiled.decode_large(loracle, 0)
-        t_de = time.perf_counter() - t0
-
-        large = {
-            "large_mpx": round(n / 1e6, 1),
-            "large_rate_pct": round(100.0 * len(loracle) / (n * 3), 1),
-            "large_encode_compute_mpxs": round(n / t_ec / 1e6, 1),
-            "large_decode_compute_mpxs": round(n / t_dc / 1e6, 1),
-            "large_encode_mpxs": round(n / t_ee / 1e6, 1),
-            "large_decode_mpxs": round(n / t_de / 1e6, 1),
-            "large_parity": bool(
-                stream == loracle and np.array_equal(lback, lpix)
-            ),
-        }
-        del lpix, stream, loracle, lback, packed
-
-    # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
-    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1":
-        _note("xlarge 400 Mpx section")
-        gc.collect()
-        large.update(xlarge_leg())
-
-    # --- per-category table (sqoabench.c:350-389 style) ---------------------
     raw_total = sum(c[2] for c in cats.values())
     sqoa_total = sum(c[3] for c in cats.values())
     qoi_total = sum(c[4] for c in cats.values())
@@ -802,6 +645,61 @@ def main():
     # (mono+compat is rejected by the format, seqoia.h:477-480)
     qoi_raw = sum(c[2] for c in cats.values() if c[4])
     sqoa_cmp = sum(c[3] for c in cats.values() if c[4])
+
+    em.update(
+        encode_mpxs=round(encode_mpxs, 2),
+        encode_vs_baseline=round(encode_mpxs / BASELINE_ENCODE_MPXS, 4),
+        parity_pct=round(parity_pct, 2),
+        rate_pct=round(100.0 * sqoa_total / raw_total, 2),
+        qoi_rate_pct=round(100.0 * qoi_total / qoi_raw, 2),
+        size_vs_qoi_pct=round(100.0 * sqoa_cmp / qoi_total - 100.0, 3),
+    )
+    if prev and "encode_mpxs" in prev:
+        em.update(vs_prev_encode=round(
+            encode_mpxs / prev["encode_mpxs"], 4))
+    em.emit(budget)
+
+    # --- per-category throughput (sqoabench.c:350-389) ----------------------
+    cat_dec, cat_enc = {}, {}
+    if budget.ok(180):
+        _note("per-category timings")
+        by_cat = defaultdict(list)
+        for plan in dec_plans:
+            by_cat[plan[0]].append(plan)
+        by_cat_e = defaultdict(list)
+        for plan in enc_plans:
+            by_cat_e[plan[0]].append(plan)
+        for cat in sorted(by_cat):
+            if not budget.ok(30):
+                _note("budget: truncating per-category timings")
+                break
+            plans = by_cat[cat]
+            f = fuse_decode(plans)
+            tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
+            cat_dec[cat] = sum(p[3] for p in plans) / tc / 1e6
+            plans_e = by_cat_e.get(cat, [])
+            if plans_e:
+                f = fuse_encode(plans_e)
+                tc = timed(f, [a for _, _, a, _ in plans_e],
+                           n=max(2, runs - 2))
+                cat_enc[cat] = sum(p[3] for p in plans_e) / tc / 1e6
+        em.update(
+            cat_decode_mpxs={c: round(v, 1) for c, v in cat_dec.items()},
+            cat_encode_mpxs={c: round(v, 1) for c, v in cat_enc.items()},
+        )
+        if prev and isinstance(prev.get("cat_decode_mpxs"), dict):
+            ratios = [
+                cat_dec[c] / pv
+                for c, pv in prev["cat_decode_mpxs"].items()
+                if c in cat_dec and pv
+            ]
+            if ratios:
+                em.update(cat_vs_prev_min=round(min(ratios), 4))
+        em.emit(budget)
+    else:
+        em.skipped.append("categories")
+
+    # per-category table to stderr (sqoabench.c:350-389 style)
     print(
         f"{'category':14s}{'images':>7s}{'Mpx':>8s}{'dec mpps':>10s}"
         f"{'enc mpps':>10s}{'sqoa kb':>9s}{'qoi kb':>9s}{'rate':>7s}"
@@ -828,26 +726,435 @@ def main():
         file=sys.stderr,
     )
 
-    result = {
-        "metric": "sqoa_batched_decode_throughput",
-        "value": round(decode_mpxs / 1000.0, 6),
-        "unit": "GPix/s/chip",
-        "vs_baseline": round(decode_mpxs / BASELINE_DECODE_MPXS, 4),
-        "decode_mpxs": round(decode_mpxs, 2),
-        "encode_mpxs": round(encode_mpxs, 2),
-        "encode_vs_baseline": round(encode_mpxs / BASELINE_ENCODE_MPXS, 4),
-        "parity_pct": round(parity_pct, 2),
-        "rate_pct": round(100.0 * sqoa_total / raw_total, 2),
-        "qoi_rate_pct": round(100.0 * qoi_total / qoi_raw, 2),
-        "size_vs_qoi_pct": round(100.0 * sqoa_cmp / qoi_total - 100.0, 3),
-        "corpus_mpx": round(total_px / 1e6, 2),
-        "images": len(corpus),
-        "device": str(jax.devices()[0]),
-        **api,
-        **qoi,
-        **large,
+    # release the sqoa staging before the qoi/large/API sections — each of
+    # those stages multi-GB device buffers of its own
+    del dec_plans, enc_plans, args
+    import gc
+
+    gc.collect()
+
+    # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
+    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(240):
+        try:
+            _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
+                         runs)
+        except Exception as e:  # optional section: record, keep the line
+            _note(f"qoi section failed: {e!r}")
+            em.update(qoi_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("qoi")
+    gc.collect()
+
+    # --- large single image (100 Mpx, BASELINE config 5) --------------------
+    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(180):
+        try:
+            _large_section(em, budget)
+        except Exception as e:
+            _note(f"large section failed: {e!r}")
+            em.update(large_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("large")
+    gc.collect()
+
+    # --- public API path (corpus_decode / corpus_encode, end to end) --------
+    if os.environ.get("SEQOIA_BENCH_API", "1") == "1" and budget.ok(150):
+        try:
+            _api_section(em, budget, corpus, streams)
+        except Exception as e:
+            _note(f"api section failed: {e!r}")
+            em.update(api_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("api")
+    gc.collect()
+
+    # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
+    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1" and budget.ok(300):
+        try:
+            _note("xlarge 400 Mpx section")
+            em.update(**xlarge_leg())
+        except Exception as e:
+            _note(f"xlarge section failed: {e!r}")
+            em.update(xlarge_error=repr(e)[:200])
+    else:
+        em.skipped.append("xlarge")
+
+    em.emit(budget, final=True)
+
+
+def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
+    """`.qoi` decode/encode through the production dispatch. Both
+    dispatches are timed and the winner is the headline: the host pool
+    scales with cores (this box has ONE, capping it at ~0.7x the
+    reference's M1 core), the TPU kernel path with the chip."""
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    import seqoia_tpu as sq
+    from seqoia_tpu import native, spec
+    from seqoia_tpu.codec import decode_compat, encode_v2, encode_jax
+    from seqoia_tpu.parallel import batch as pbatch
+
+    _note("qoi section")
+    q_items = [(i, q) for i, q in enumerate(qoi_streams) if q is not None]
+    q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
+    # the host legs are single-threaded per core; sample a bounded slice so
+    # the pool timing doesn't dominate bench wall time at large scales
+    sample_mpx = 120e6 if budget.ok(420) else 60e6
+    hs_items, hs_px = [], 0
+    for i, q in q_items:
+        hs_items.append((i, q))
+        hs_px += corpus[i][1] * corpus[i][2]
+        if hs_px >= sample_mpx:
+            break
+    qdec = pbatch.BatchDecoder()
+    hstreams = [q for _, q in hs_items]
+    qres = qdec(hstreams)  # warm + parity sentinel
+    q_dec_ok = sum(r.pixels is not None for r in qres)
+    del qres
+    t0 = time.perf_counter()
+    qdec(hstreams)
+    q_dec_t = time.perf_counter() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def qenc(arg):
+        i, _ = arg
+        p, w, h, ch, _ = corpus[i]
+        return native.encode(p, w, h, ch, 0, 1)
+
+    workers = os.cpu_count() or 8
+    if workers <= 1:
+        t0 = time.perf_counter()
+        for it in hs_items:
+            qenc(it)
+        q_enc_t = time.perf_counter() - t0
+    else:
+        with ThreadPoolExecutor(workers) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(qenc, hs_items))
+            q_enc_t = time.perf_counter() - t0
+
+    # on-box reference speeds: the genuine reference header, compiled
+    # from its read-only mount and timed on this host's core, is the
+    # apples-to-apples bar — the published 244.82/190.69 Mpx/s are an
+    # Apple M1 core (bench10.txt:122), not this machine
+    ref_onbox = {}
+    try:
+        import ctypes as _ct
+        import subprocess as _sp
+
+        _sp.run(
+            ["cc", "-O3", "-std=c11", "-shared", "-fPIC", "-w",
+             "-o", "/tmp/librefprobe_bench.so",
+             '-DSQOA_REFERENCE_HEADER="/root/reference/seqoia.h"',
+             os.path.join(_HERE, "tools", "refprobe.c")],
+            check=True, capture_output=True)
+        _lib = _ct.CDLL("/tmp/librefprobe_bench.so")
+        _u8p = _ct.POINTER(_ct.c_uint8)
+        _u32p = _ct.POINTER(_ct.c_uint32)
+        _lib.ref_decode.restype = _ct.c_int64
+        _lib.ref_decode.argtypes = [_u8p, _ct.c_int64, _ct.c_int, _u8p,
+                                    _ct.c_int64, _u32p]
+        _lib.ref_encode.restype = _ct.c_int64
+        _out = np.empty(256_000_000, np.uint8)
+        _dsc = np.zeros(5, np.uint32)
+        _bufs = [np.frombuffer(bytearray(q), np.uint8) for _, q in hs_items]
+        t0 = time.perf_counter()
+        for _b in _bufs:
+            _lib.ref_decode(_b.ctypes.data_as(_u8p), len(_b), 0,
+                            _out.ctypes.data_as(_u8p), len(_out),
+                            _dsc.ctypes.data_as(_u32p))
+        ref_onbox["qoi_ref_onbox_decode_mpxs"] = round(
+            hs_px / (time.perf_counter() - t0) / 1e6, 1)
+    except Exception:  # cc missing etc — the numbers are optional
+        pass
+
+    # TPU fixpoint decode over every color bucket (device-resident, same
+    # methodology as the sqoa numbers); unconverged rows would take the
+    # host fallback in production — convergence is reported. Buckets
+    # sub-batch so the fixpoint's ~20x-stream working set stays well
+    # inside HBM (rows per launch capped by stream bytes). Convergence
+    # bools come back from the fused warmup — no per-bucket dispatches.
+    fp_buckets = defaultdict(list)
+    for i, q in q_items:
+        fp_buckets[(_bucket(len(q)), _bucket(corpus[i][1] * corpus[i][2]))
+                   ].append(i)
+    fp_plans = []
+    for (m_pad, n_max), all_idxs in fp_buckets.items():
+        b_cap = max(1, (24 << 20) // m_pad)
+        for c0 in range(0, len(all_idxs), b_cap):
+            idxs = all_idxs[c0 : c0 + b_cap]
+            b = b_cap if len(all_idxs) > b_cap else len(idxs)
+            buf = np.zeros((b, m_pad), np.uint8)
+            cl = np.zeros(b, np.int32)
+            npx = np.zeros(b, np.int32)
+            for j, i in enumerate(idxs):
+                q = qoi_streams[i]
+                buf[j, : len(q)] = np.frombuffer(q, np.uint8)
+                cl[j] = len(q) - spec.PADDING_SIZE
+                npx[j] = corpus[i][1] * corpus[i][2]
+            fargs = (jnp.asarray(buf), jnp.asarray(cl), jnp.asarray(npx))
+            ffn = functools.partial(
+                decode_compat.decode_stream_compat_batched,
+                colch=3, out_ch=4, n_max=int(n_max))
+            fp_plans.append((ffn, fargs, len(idxs)))
+
+    @jax.jit
+    def _fp_conv_all(all_args):
+        convs = []
+        for (ffn, _, _), a in zip(fp_plans, all_args):
+            out, conv = ffn(*a)
+            # force out via a cheap dependency folded into conv's row
+            convs.append(conv & (jnp.sum(out[:, ::8191]) < jnp.inf))
+        return jnp.concatenate(convs)
+
+    conv_all = np.asarray(jax.device_get(
+        _fp_conv_all([a for _, a, _ in fp_plans])))
+    fp_conv = 0
+    off = 0
+    for _, fa, nlive in fp_plans:
+        fp_conv += int(conv_all[off : off + nlive].sum())
+        off += fa[0].shape[0]
+
+    @jax.jit
+    def _fp_all(all_args):
+        acc = jnp.float32(0)
+        for (ffn, _, _), a in zip(fp_plans, all_args):
+            out, _ = ffn(*a)
+            acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
+        return acc
+
+    tfp = timed(_fp_all, [a for _, a, _ in fp_plans])
+    fp_mpxs = q_px / tfp / 1e6
+    # production-honest hybrid: unconverged rows re-decode on the host
+    # pool, so their pixels are charged at the measured host rate
+    unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
+
+    # TPU compat encode (slot last-writer hash resolution), bucketed and
+    # sub-batched like the fixpoint leg; parity on device in the fused
+    # warmup (upload expected payloads, masked compare + exact totals)
+    del fp_plans
+    gc.collect()
+    qe_buckets = defaultdict(list)
+    for i, q in q_items:
+        d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
+        qe_buckets[(d.has_alpha, _bucket(d.n_pixels))].append(i)
+    qe_plans = []
+    qe_oracle = []
+    for (has_alpha, n_pad), all_idxs in qe_buckets.items():
+        b_cap = max(1, (24 << 20) // n_pad)
+        for c0 in range(0, len(all_idxs), b_cap):
+            idxs = all_idxs[c0 : c0 + b_cap]
+            b = b_cap if len(all_idxs) > b_cap else len(idxs)
+            rgba = np.zeros((b, n_pad), np.int32)
+            nval = np.zeros(b, np.int32)
+            for j, i in enumerate(idxs):
+                p, w, h, ch, _ = corpus[i]
+                d = sq.SqoaDesc(w, h, ch, 0, 1)
+                rgba[j, : w * h] = encode_jax.normalize_pixels_packed(p, d)
+                nval[j] = w * h
+            cap = spec.cap_bucket(
+                max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
+            exp = np.zeros((b, int(cap)), np.uint8)
+            elen = np.zeros(b, np.int32)
+            for j, i in enumerate(idxs):
+                d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
+                payload = qoi_streams[i][len(spec.pack_header(d)):]
+                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+                elen[j] = len(payload)
+            eargs = (jnp.asarray(rgba), jnp.asarray(nval))
+            efn = functools.partial(
+                encode_v2.encode_stream_batched,
+                colch=3, has_alpha=bool(has_alpha), compat=True,
+                out_cap=int(cap))
+            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+            del exp, rgba
+            qe_plans.append((efn, eargs, len(idxs)))
+
+    @jax.jit
+    def _qe_parity_all(all_args, oracles):
+        oks = []
+        for (efn, _, _), a, (exp, elen) in zip(qe_plans, all_args, oracles):
+            out, totals = efn(*a)
+            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
+                elen[:, None])
+            oks.append(
+                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+            )
+        return jnp.concatenate(oks)
+
+    qp_all = np.asarray(jax.device_get(
+        _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
+    del qe_oracle
+    qe_parity = 0
+    off = 0
+    for _, ea, nlive in qe_plans:
+        qe_parity += int(qp_all[off : off + nlive].sum())
+        off += ea[0].shape[0]
+
+    @jax.jit
+    def _qe_all(all_args):
+        acc = jnp.float32(0)
+        for (efn, _, _), a in zip(qe_plans, all_args):
+            out, _ = efn(*a)
+            acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
+        return acc
+
+    tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
+    qe_mpxs = q_px / tqe / 1e6
+
+    host_dec = hs_px / q_dec_t / 1e6
+    host_enc = hs_px / q_enc_t / 1e6
+    hybrid_dec = q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6
+    best_dec = max(host_dec, hybrid_dec)
+    best_enc = max(host_enc, qe_mpxs)
+    qoi = {
+        "qoi_decode_mpxs": round(best_dec, 1),
+        "qoi_encode_mpxs": round(best_enc, 1),
+        "qoi_decode_dispatch": (
+            "tpu+fallback" if hybrid_dec > host_dec else "host"),
+        "qoi_encode_dispatch": "tpu" if qe_mpxs > host_enc else "host",
+        "qoi_decode_vs_ref": round(best_dec / BASELINE_QOI_DECODE_MPXS, 2),
+        "qoi_encode_vs_ref": round(best_enc / BASELINE_QOI_ENCODE_MPXS, 2),
+        "qoi_host_decode_mpxs": round(host_dec, 1),
+        "qoi_host_encode_mpxs": round(host_enc, 1),
+        "qoi_tpu_decode_mpxs": round(fp_mpxs, 1),
+        "qoi_tpu_encode_mpxs": round(qe_mpxs, 1),
+        "qoi_tpu_converged_pct": round(100.0 * fp_conv / len(q_items), 1),
+        "qoi_tpu_encode_parity_n": qe_parity,
+        "qoi_host_parity_n": q_dec_ok,
+        "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
+        **ref_onbox,
     }
-    print(json.dumps(result))
+    if "qoi_ref_onbox_decode_mpxs" in ref_onbox:
+        qoi["qoi_decode_vs_ref_onbox"] = round(
+            best_dec / ref_onbox["qoi_ref_onbox_decode_mpxs"], 2)
+    em.update(**qoi)
+
+
+def _large_section(em, budget):
+    """100 Mpx single image: device-resident compute + end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    import seqoia_tpu as sq
+    from seqoia_tpu import spec
+    from seqoia_tpu.codec import decode_v2, encode_v2
+    from seqoia_tpu.ops import pallas_pack
+    from seqoia_tpu.parallel import tiled
+
+    _note("large-image section")
+    lw = lh = 10000
+    lpix, loracle = _large_assets(lw, lh)
+    ldesc = sq.SqoaDesc(lw, lh, 3, 0, 0)
+
+    def timed3(fn, args):
+        float(fn(args))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # device-resident encode compute: pre-staged packed pixels, exact
+    # cap (the steady-state adaptive cap), scalar-fenced
+    packed = pallas_pack.normalize_pixels_device(lpix, ldesc)
+    packed.block_until_ready()
+    n = lw * lh
+    cap = spec.cap_bucket(len(loracle) * 9 // 8)
+    efn = jax.jit(functools.partial(
+        encode_v2.encode_stream_flat, colch=3, has_alpha=False,
+        out_cap=int(cap)))
+
+    def enc_run(p):
+        out, tot = efn(p, jnp.int32(n))
+        return jnp.sum(out[::65537].astype(jnp.float32)) + tot
+
+    t_ec = timed3(jax.jit(enc_run), packed)
+
+    # end-to-end encode (host bytes in, file bytes out)
+    stream = tiled.encode_large(lpix, ldesc)  # warm compiles
+    t0 = time.perf_counter()
+    stream = tiled.encode_large(lpix, ldesc)
+    t_ee = time.perf_counter() - t0
+
+    # device-resident decode compute
+    m_pad = _bucket(len(loracle))
+    n_max = _bucket(n)
+    buf = np.zeros((1, m_pad), np.uint8)
+    buf[0, : len(loracle)] = np.frombuffer(loracle, np.uint8)
+    darr = jax.device_put(jnp.asarray(buf))
+    dfn = jax.jit(functools.partial(
+        decode_v2.decode_stream_batched, colch=3, compat=False,
+        out_ch=3, n_max=int(n_max), emit="words", src_alpha=False))
+
+    def dec_run(d):
+        out, _ = dfn(d, jnp.full((1,), len(loracle) - spec.PADDING_SIZE,
+                                 jnp.int32),
+                     jnp.full((1,), n, jnp.int32))
+        return jnp.sum(out[:, ::4097].astype(jnp.float32))
+
+    t_dc = timed3(jax.jit(dec_run), darr)
+    del darr
+
+    # end-to-end decode
+    lback, _ = tiled.decode_large(loracle, 0)  # warm
+    t0 = time.perf_counter()
+    lback, _ = tiled.decode_large(loracle, 0)
+    t_de = time.perf_counter() - t0
+
+    em.update(
+        large_mpx=round(n / 1e6, 1),
+        large_rate_pct=round(100.0 * len(loracle) / (n * 3), 1),
+        large_encode_compute_mpxs=round(n / t_ec / 1e6, 1),
+        large_decode_compute_mpxs=round(n / t_dc / 1e6, 1),
+        large_encode_mpxs=round(n / t_ee / 1e6, 1),
+        large_decode_mpxs=round(n / t_de / 1e6, 1),
+        large_parity=bool(
+            stream == loracle and np.array_equal(lback, lpix)
+        ),
+    )
+
+
+def _api_section(em, budget, corpus, streams):
+    """Public batched API end to end, with the staging/compute/fetch
+    split from the pipelined BatchDecoder/BatchEncoder."""
+    import seqoia_tpu as sq
+    from seqoia_tpu.parallel import batch as pbatch
+
+    _note("API path section")
+    total_px = sum(w * h for _, w, h, _, _ in corpus)
+    descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
+    imgs = [p for p, *_ in corpus]
+    dec = pbatch.BatchDecoder()
+    enc = pbatch.BatchEncoder()
+    dec(streams)  # warm: compiles + cap estimates
+    enc(imgs, descs)
+    t0 = time.perf_counter()
+    res = dec(streams)
+    api_dec_t = time.perf_counter() - t0
+    assert all(r.pixels is not None for r in res)
+    dec_split = dict(getattr(dec, "last_timings", {}) or {})
+    t0 = time.perf_counter()
+    res_e = enc(imgs, descs)
+    api_enc_t = time.perf_counter() - t0
+    assert all(r is not None for r in res_e)
+    enc_split = dict(getattr(enc, "last_timings", {}) or {})
+    em.update(
+        api_decode_mpxs=round(total_px / api_dec_t / 1e6, 1),
+        api_encode_mpxs=round(total_px / api_enc_t / 1e6, 1),
+    )
+    for k, v in dec_split.items():
+        em.update(**{f"api_decode_{k}_s": round(v, 3)})
+    for k, v in enc_split.items():
+        em.update(**{f"api_encode_{k}_s": round(v, 3)})
+    del res, res_e
 
 
 if __name__ == "__main__":
