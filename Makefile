@@ -26,6 +26,16 @@ bench: native
 fuzz: native
 	python -m seqoia_tpu.cli fuzz 2000
 
+# sanitizer-hardened fuzz of the native runtime (parity surface for the
+# reference's clang -fsanitize=address,fuzzer harness, sqoafuzz.c:10,20-32;
+# no libFuzzer in this toolchain, so tools/fuzz_native.c is a seeded
+# mutation driver). FUZZ_ITERS mutated execs + directed seeds.
+FUZZ_ITERS ?= 1000000
+fuzz-asan: tools/fuzz_native.c $(NATIVE_SRC)
+	$(CC) -O1 -g -std=c11 -fsanitize=address,undefined \
+	  -fno-sanitize-recover=all -o /tmp/sqoa_fuzz_asan tools/fuzz_native.c
+	/tmp/sqoa_fuzz_asan $(FUZZ_ITERS)
+
 clean:
 	rm -f $(NATIVE_LIB) /tmp/libsqoa_refprobe.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
