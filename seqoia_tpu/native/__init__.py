@@ -73,6 +73,8 @@ def _load() -> ctypes.CDLL:
         lib.sqn_scan_chunks.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int, i64p,
         ]
+        lib.sqn_compat_probe.restype = ctypes.c_int64
+        lib.sqn_compat_probe.argtypes = [u8p, ctypes.c_int64, i64p]
         _lib = lib
         return lib
 
@@ -158,6 +160,31 @@ def decode(data: bytes, channels: int = 0):
     if n < 0:
         return None, None
     return out, tuple(int(x) for x in desc)
+
+
+def compat_probe(data: bytes):
+    """Optimistic INDEX-chain depth of a color .qoi stream — the dispatch
+    predictor for the TPU fixpoint decoder (codec/decode_compat.py).
+
+    Returns (max_depth, n_ops, n_index, n_px, strict_max_depth) or None
+    for non-compat / mono / malformed streams. max_depth is the collapsed
+    predictor (same-value re-inserts keep the minimum slot depth; slot-0
+    reads stay strict — see sqn_compat_probe); a stream whose max_depth
+    is below the fixpoint's iteration cap is expected to converge on
+    device. The prediction is advisory: the fixpoint's converged flags
+    stay authoritative and parallel/batch.py re-decodes unconverged rows
+    on the host."""
+    lib = _load()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    stats = np.zeros(4, dtype=np.int64)
+    d = lib.sqn_compat_probe(
+        _u8ptr(buf), len(data),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if d < 0:
+        return None
+    return (int(d), int(stats[0]), int(stats[1]), int(stats[2]),
+            int(stats[3]))
 
 
 def scan_chunks(data: bytes, n_chunks: int):

@@ -768,3 +768,137 @@ int64_t sqn_scan_chunks(const uint8_t *data, int64_t size, int n_chunks,
     }
     return 0;
 }
+
+/* ---- compat INDEX-chain depth probe -------------------------------------
+ *
+ * One sequential pass over a color .qoi stream computing the *optimistic
+ * INDEX-dependency depth*: roughly how many iterations the TPU fixpoint
+ * decoder (codec/decode_compat.py) needs before every INDEX read is
+ * resolved. Each op carries the depth at which its value becomes correct:
+ *
+ *   RGBA              -> 0            (absolute anchor, all channels)
+ *   RGB               -> alpha carries: depth = depth of previous alpha
+ *   DIFF / LUMA / RUN -> carries:      depth = depth of previous value
+ *   INDEX reading slot k -> 1 + depth of the value last stored at k
+ *
+ * and every decoded op stores (value, depth) into its hash slot, exactly
+ * mirroring the reference's per-pixel insert (seqoia.h:785-787; per-op is
+ * equivalent, runs re-insert an identical value).
+ *
+ * Two depth flavors are tracked, calibrated against the measured fixpoint
+ * (tests/test_compat_probe.py):
+ *
+ *   strict: every insert overwrites the slot depth — the nominal
+ *     link-count of the dependency chain;
+ *   collapsed (the returned predictor): re-inserting a value identical to
+ *     the slot's current content keeps the MINIMUM depth — once any
+ *     low-depth op has put the right bytes in the slot, later same-value
+ *     writers cannot make a read of it later-resolving. This is what lets
+ *     recurring palette colors collapse deep nominal chains (measured:
+ *     small-palette content with strict depth in the hundreds converges
+ *     in < 12 iterations). Exception: reads of slot 0 use the strict
+ *     depth, because the fixpoint's still-unresolved guesses start at
+ *     packed zero, whose hash IS slot 0 — that slot is systematically
+ *     clobbered by wrong guesses until the chain feeding it resolves
+ *     (this is exactly the adversarial construction in
+ *     tests/test_compat_fixpoint.py).
+ *
+ * This is a dispatch *predictor*, not a soundness proof: wrong
+ * intermediate guesses can collide into any live slot and delay
+ * convergence past the prediction. Production correctness never depends
+ * on it — the fixpoint's converged flags stay authoritative and
+ * unconverged rows fall back to the host decoder (parallel/batch.py).
+ * The probe only decides where to *try* first.
+ *
+ * The pass is cheaper than a decode (no pixel output traffic, no channel
+ * forcing), so probing before dispatch costs a fraction of the host
+ * decode it can avoid.
+ *
+ * out_stats (optional): {n_ops, n_index, n_px_decoded, strict_max_depth}.
+ * Returns the collapsed max depth (>= 0), or -1 malformed / mono / not
+ * compat.
+ */
+int64_t sqn_compat_probe(const uint8_t *data, int64_t size,
+                         int64_t out_stats[4]) {
+    if (!data || size < HDR_SIZE + PAD_SIZE) return -1;
+    uint32_t magic = get_be32(data);
+    uint32_t width = get_be32(data + 4);
+    uint32_t height = get_be32(data + 8);
+    int hdr_channels = data[12];
+    if (width == 0 || height == 0) return -1;
+    if (data[14] == START_BYTE_) return -1;            /* not compat */
+    if (magic != MAGIC_QOIF && magic != MAGIC_SQOA) return -1;
+    if (hdr_channels < 3 || hdr_channels > 6) return -1; /* color only */
+    if (height >= PIXELS_MAX_ / width) return -1;
+
+    const uint8_t *q = data + HDR_SIZE;
+    const uint8_t *qend = data + size - PAD_SIZE;
+    int64_t npx = (int64_t)width * height;
+
+    uint32_t table[64];
+    int64_t tds[64], tdm[64]; /* strict / collapsed slot depths */
+    memset(table, 0, sizeof table);
+    memset(tds, 0, sizeof tds);
+    memset(tdm, 0, sizeof tdm);
+    uint8_t r = 0, g = 0, b = 0, a = 255;
+    int64_t ds_rgb = 0, ds_a = 0, dm_rgb = 0, dm_a = 0;
+    int64_t maxd = 0, maxd_s = 0, n_ops = 0, n_index = 0, px_done = 0;
+
+    while (px_done < npx && q < qend) {
+        uint32_t b1 = *q++;
+        n_ops++;
+        int is_run = 0;
+        if (b1 >= TAG_RUN) {
+            if (b1 < TAG_RGB) { /* RUN 1..62: carries value and depths */
+                px_done += (int64_t)(b1 & 0x3f);
+                is_run = 1;
+            } else {
+                r = q[0]; g = q[1]; b = q[2];
+                ds_rgb = dm_rgb = 0;
+                if (b1 == TAG_RGBA) {
+                    a = q[3];
+                    ds_a = dm_a = 0;
+                    q += 4;
+                } else {
+                    q += 3;
+                }
+            }
+        } else if (b1 < 64) { /* INDEX */
+            uint32_t v = table[b1];
+            r = (uint8_t)v; g = (uint8_t)(v >> 8);
+            b = (uint8_t)(v >> 16); a = (uint8_t)(v >> 24);
+            ds_rgb = ds_a = tds[b1] + 1;
+            dm_rgb = dm_a = (b1 == 0 ? tds[0] : tdm[b1]) + 1;
+            n_index++;
+            if (dm_rgb > maxd) maxd = dm_rgb;
+            if (ds_rgb > maxd_s) maxd_s = ds_rgb;
+        } else if (b1 < TAG_LUMA) { /* DIFF: carries depth */
+            r = (uint8_t)(r + ((b1 >> 4) & 3) - 2);
+            g = (uint8_t)(g + ((b1 >> 2) & 3) - 2);
+            b = (uint8_t)(b + (b1 & 3) - 2);
+        } else { /* LUMA: carries depth */
+            int dg = (int)(b1 & 0x3f) - 32;
+            uint32_t b2 = *q++;
+            r = (uint8_t)(r + dg - 8 + ((b2 >> 4) & 15));
+            g = (uint8_t)(g + dg);
+            b = (uint8_t)(b + dg - 8 + (b2 & 15));
+        }
+        int64_t ds = ds_rgb > ds_a ? ds_rgb : ds_a;
+        int64_t dm = dm_rgb > dm_a ? dm_rgb : dm_a;
+        int slot = (r * 3 + g * 5 + b * 7 + a * 11) & 63;
+        uint32_t v = px_pack((px_t){r, g, b, a});
+        tds[slot] = ds;
+        if (table[slot] != v || dm < tdm[slot]) tdm[slot] = dm;
+        table[slot] = v;
+        px_done++;
+        (void)is_run;
+    }
+
+    if (out_stats) {
+        out_stats[0] = n_ops;
+        out_stats[1] = n_index;
+        out_stats[2] = px_done;
+        out_stats[3] = maxd_s;
+    }
+    return maxd;
+}

@@ -68,14 +68,26 @@ def _decode_batch_kernel(data, chunks_len, n_pixels, *, colch, compat, out_ch,
     )
 
 
-def _compat_use_tpu() -> bool:
+def _compat_mode() -> str:
     """Batch-dispatch policy for .qoi streams. The compat index table is
     sequential pointer-chasing (decode_compat.py discusses why); on real
-    INDEX-heavy content the TPU fixpoint rarely converges within its cap,
-    so the batch path defaults to the native runtime fanned out across
-    host cores (~250 Mpx/s/core, reference-class per core) and only uses
-    the TPU fixpoint when explicitly requested."""
-    return os.environ.get("SEQOIA_COMPAT_TPU", "") == "1"
+    INDEX-heavy content the TPU fixpoint often fails to converge within
+    its cap, so the batch path defaults to the native runtime fanned out
+    across host cores (~250 Mpx/s/core, reference-class per core).
+
+    SEQOIA_COMPAT_TPU=1     every color stream takes the TPU fixpoint
+                            (unconverged rows still fall back);
+    SEQOIA_COMPAT_TPU=auto  each stream is probed first (one cheap
+                            sequential pass, native.compat_probe): streams
+                            whose predicted INDEX-chain depth fits the
+                            fixpoint's iteration cap go to the TPU, the
+                            rest straight to the host pool — no wasted
+                            device launches on content that won't
+                            converge. Prediction accuracy is pinned by
+                            tests/test_compat_probe.py; correctness never
+                            depends on it (flags stay authoritative).
+    """
+    return os.environ.get("SEQOIA_COMPAT_TPU", "")
 
 
 @dataclasses.dataclass
@@ -129,12 +141,36 @@ class BatchDecoder:
              src_alpha) in list(groups):
             items = groups[(colch, compat, out_ch, m_pad, max_ops, n_max,
                             src_alpha)]
-            if compat and not _compat_use_tpu():
-                # hybrid dispatch: .qoi -> host pool (see _compat_use_tpu)
-                self._host_pool(
-                    [(i, data) for i, data, _ in items], channels, results
-                )
-                continue
+            if compat:
+                mode = _compat_mode()
+                if mode == "auto" and colch == 3:
+                    # probe-dispatch: predicted-converging streams try the
+                    # TPU fixpoint, the rest go straight to the host pool
+                    from .. import native
+                    from ..codec import decode_compat
+
+                    cap = decode_compat._MAX_ITERS
+                    tpu_items = []
+                    host_items = []
+                    for it in items:
+                        pr = native.compat_probe(bytes(it[1]))
+                        (tpu_items if pr is not None and pr[0] < cap
+                         else host_items).append(it)
+                    if host_items:
+                        self._host_pool(
+                            [(i, d) for i, d, _ in host_items], channels,
+                            results,
+                        )
+                    if not tpu_items:
+                        continue
+                    items = tpu_items
+                elif mode != "1":
+                    # hybrid dispatch: .qoi -> host pool (see _compat_mode)
+                    self._host_pool(
+                        [(i, data) for i, data, _ in items], channels,
+                        results,
+                    )
+                    continue
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             buf = np.zeros((b_pad, m_pad), np.uint8)
