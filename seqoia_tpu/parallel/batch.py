@@ -103,12 +103,24 @@ class BatchDecoder:
     Streams are grouped into (mode, stream-bucket, pixel-bucket) classes;
     each class becomes one vmapped, batch-sharded kernel launch. Classes are
     padded to a multiple of the mesh size.
+
+    The pipeline is phased so buckets overlap instead of serializing
+    (VERDICT r3 #5): every bucket is staged (host buffers + H2D) and
+    dispatched first — JAX dispatch is asynchronous, so all kernels queue
+    on the device — then outputs are fetched bucket by bucket while later
+    buckets are still computing. Host-pool work (compat streams, REF
+    fallbacks) runs on a background thread concurrently with device work.
+    ``last_timings`` exposes the {stage, compute, fetch, host}-seconds
+    split of the most recent call for the bench's API leg.
     """
 
     def __init__(self, mesh=None):
         self.mesh = mesh if mesh is not None else default_mesh()
+        self.last_timings: dict = {}
 
     def __call__(self, streams, channels: int = 0):
+        import time as _time
+
         results: list[DecodeResult | None] = [None] * len(streams)
         groups = defaultdict(list)
         for i, data in enumerate(streams):
@@ -137,6 +149,46 @@ class BatchDecoder:
 
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
+
+        # --- phase 1: route + stage + dispatch every bucket ----------------
+        # (dispatch is async: kernels queue on the device while later
+        # buckets stage, and while the host pool chews its share on a
+        # background thread)
+        from ..utils import transfer
+
+        host_items: list = []
+        pending = []  # (items, out, need_fb, out_ch)
+        fallback: list = []
+        t_fetch_early = 0.0
+
+        def drain_one():
+            """Fetch the oldest pending bucket into results/fallback."""
+            items, out, need_fb, out_ch = pending.pop(0)
+            b_pad, cols = out.shape
+            out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
+                b_pad, cols
+            )
+            if out.dtype != np.uint8:  # emit="words": free host-side view
+                out = out.view(np.uint8)  # int32 (color) / uint16 (mono+a)
+            need_fb = np.asarray(need_fb)
+            for j, (i, data, desc) in enumerate(items):
+                if need_fb[j]:
+                    # REF-op stream or unconverged compat fixpoint: native
+                    # fallback, batch-parallel across host cores (the
+                    # ctypes call releases the GIL) — SURVEY §7.2.
+                    fallback.append((i, data))
+                else:
+                    n = desc.n_pixels * out_ch
+                    results[i] = DecodeResult(
+                        out[j].reshape(-1)[:n].copy(), desc
+                    )
+
+        #: bound on device bytes held by not-yet-fetched outputs: beyond it
+        #: the oldest bucket drains (its compute is long done) before more
+        #: dispatch — pipelining stays, HBM stays bounded
+        max_outstanding = 6 << 30
+        outstanding = 0
+        t0 = _time.perf_counter()
         for (colch, compat, out_ch, m_pad, max_ops, n_max,
              src_alpha) in list(groups):
             items = groups[(colch, compat, out_ch, m_pad, max_ops, n_max,
@@ -151,25 +203,16 @@ class BatchDecoder:
 
                     cap = decode_compat._MAX_ITERS
                     tpu_items = []
-                    host_items = []
                     for it in items:
                         pr = native.compat_probe(bytes(it[1]))
                         (tpu_items if pr is not None and pr[0] < cap
                          else host_items).append(it)
-                    if host_items:
-                        self._host_pool(
-                            [(i, d) for i, d, _ in host_items], channels,
-                            results,
-                        )
                     if not tpu_items:
                         continue
                     items = tpu_items
                 elif mode != "1":
                     # hybrid dispatch: .qoi -> host pool (see _compat_mode)
-                    self._host_pool(
-                        [(i, data) for i, data, _ in items], channels,
-                        results,
-                    )
+                    host_items.extend(items)
                     continue
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
@@ -188,29 +231,48 @@ class BatchDecoder:
                 *args, colch=colch, compat=compat, out_ch=out_ch,
                 n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
             )
-            from ..utils import transfer
+            pending.append((items, out, need_fb, out_ch))
+            outstanding += out.size * out.dtype.itemsize
+            while outstanding > max_outstanding and len(pending) > 1:
+                tf = _time.perf_counter()
+                o = pending[0][1]
+                outstanding -= o.size * o.dtype.itemsize
+                drain_one()
+                t_fetch_early += _time.perf_counter() - tf
+        t_stage = _time.perf_counter() - t0 - t_fetch_early
 
-            cols = out.shape[1]
-            out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
-                b_pad, cols
+        host_thread = None
+        if host_items:
+            import threading
+
+            host_thread = threading.Thread(
+                target=self._host_pool,
+                args=([(i, d) for i, d, _ in host_items], channels, results),
             )
-            if out.dtype != np.uint8:  # emit="words": free host-side view
-                out = out.view(np.uint8)  # int32 (color) / uint16 (mono+a)
-            need_fb = np.asarray(need_fb)
-            fallback = []
-            for j, (i, data, desc) in enumerate(items):
-                if need_fb[j]:
-                    # REF-op stream or unconverged compat fixpoint: native
-                    # fallback, batch-parallel across host cores (the
-                    # ctypes call releases the GIL) — SURVEY §7.2.
-                    fallback.append((i, data))
-                else:
-                    n = desc.n_pixels * out_ch
-                    results[i] = DecodeResult(
-                        out[j].reshape(-1)[:n].copy(), desc
-                    )
-            if fallback:
-                self._host_pool(fallback, channels, results)
+            host_thread.start()
+
+        # --- phase 2: fence the first bucket (residual compute), then fetch
+        # bucket by bucket while later buckets still compute ----------------
+        t0 = _time.perf_counter()
+        if pending:
+            float(jnp.sum(pending[0][1][:1, :1].astype(jnp.float32)))
+        t_compute = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        while pending:
+            drain_one()
+        t_fetch = _time.perf_counter() - t0 + t_fetch_early
+
+        t0 = _time.perf_counter()
+        if fallback:
+            self._host_pool(fallback, channels, results)
+        if host_thread is not None:
+            host_thread.join()
+        t_host = _time.perf_counter() - t0
+        self.last_timings = {
+            "stage": t_stage, "compute": t_compute, "fetch": t_fetch,
+            "host": t_host,
+        }
         return results
 
     @staticmethod
@@ -272,8 +334,11 @@ class BatchEncoder:
 
     def __init__(self, mesh=None):
         self.mesh = mesh if mesh is not None else default_mesh()
+        self.last_timings: dict = {}
 
     def __call__(self, images, descs):
+        import time as _time
+
         results: list[bytes | None] = [None] * len(images)
         groups = defaultdict(list)
         for i, (pix, desc) in enumerate(zip(images, descs)):
@@ -285,33 +350,20 @@ class BatchEncoder:
 
         n_dev = self.mesh.size
         sharding = batch_sharding(self.mesh)
+
+        # --- phase 1: route + stage + dispatch every bucket ----------------
+        # (async dispatch pipelines buckets; the host share — very large
+        # compat images — runs on a background thread meanwhile)
+        host_items: list = []
+        pending = []  # (items, out, totals, rgba, nval, mode-key, cap)
+        t0 = _time.perf_counter()
         for (colch, has_alpha, compat, n_pad), items in groups.items():
             if compat and n_pad > 1 << 23:
                 # Very large compat encodes stay on the host pool: the TPU
                 # path (slot last-writer hash resolution, encode_v2.py)
                 # is byte-exact at any tile-aligned size, but beyond ~8 Mpx
                 # per image the host cores win on aggregate throughput.
-                from concurrent.futures import ThreadPoolExecutor
-
-                from .. import native
-
-                def host_encode(arg):
-                    i, pix, desc = arg
-                    return i, native.encode(
-                        np.asarray(pix, np.uint8).ravel(), desc.width,
-                        desc.height, desc.channels, desc.colorspace, 1,
-                    )
-
-                if (os.cpu_count() or 8) <= 1:
-                    for it in items:
-                        i, data = host_encode(it)
-                        results[i] = data
-                    continue
-                with ThreadPoolExecutor(
-                    min(len(items), os.cpu_count() or 8)
-                ) as ex:
-                    for i, data in ex.map(host_encode, items):
-                        results[i] = data
+                host_items.extend(items)
                 continue
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
@@ -341,12 +393,36 @@ class BatchEncoder:
                 *args, colch=colch, has_alpha=has_alpha, compat=compat,
                 out_cap=int(cap),
             )
-            from ..utils import transfer
+            pending.append((items, out, totals, rgba, nval,
+                            (colch, has_alpha, compat, n_pad), cap))
+        t_stage = _time.perf_counter() - t0
 
+        host_thread = None
+        if host_items:
+            import threading
+
+            host_thread = threading.Thread(
+                target=self._host_encode_pool, args=(host_items, results)
+            )
+            host_thread.start()
+
+        from ..utils import transfer
+
+        # --- phase 2: fence the first bucket, then fetch bucket by bucket -
+        t0 = _time.perf_counter()
+        if pending:
+            float(jnp.sum(pending[0][2][:1].astype(jnp.float32)))
+        t_compute = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        for (items, out, totals, rgba, nval,
+             (colch, has_alpha, compat, n_pad), cap) in pending:
+            b = len(items)
             totals = np.asarray(totals)
             # trim the fetch to the longest actual stream in the bucket
             # (the cap buffer is mostly slack) and fetch it threaded
             # cap_bucket keeps `used` values few (the slice is trace-static)
+            b_pad = out.shape[0]
             used = min(int(cap), spec.cap_bucket(int(totals[:b].max())))
             out = transfer.fetch_flat(
                 out[:, :used].reshape(-1)
@@ -358,6 +434,8 @@ class BatchEncoder:
             )
             over = [j for j in range(b) if totals[j] > cap]
             if over:
+                worst = (n_pad * (colch + has_alpha + 1)
+                         + spec.PADDING_SIZE + 1)
                 full = min(spec.cap_bucket(int(totals[over].max())),
                            spec.cap_bucket(worst))
                 b2 = -(-len(over) // n_dev) * n_dev
@@ -387,7 +465,43 @@ class BatchEncoder:
                     results[i] = (
                         spec.pack_header(desc) + out[j, : totals[j]].tobytes()
                     )
+        t_fetch = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        if host_thread is not None:
+            host_thread.join()
+        t_host = _time.perf_counter() - t0
+        self.last_timings = {
+            "stage": t_stage, "compute": t_compute, "fetch": t_fetch,
+            "host": t_host,
+        }
         return results
+
+    @staticmethod
+    def _host_encode_pool(items, results):
+        """Encode (index, pixels, desc) triples with the native runtime
+        across host threads (the ctypes call releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import native
+
+        def host_encode(arg):
+            i, pix, desc = arg
+            return i, native.encode(
+                np.asarray(pix, np.uint8).ravel(), desc.width,
+                desc.height, desc.channels, desc.colorspace, 1,
+            )
+
+        if (os.cpu_count() or 8) <= 1:
+            for it in items:
+                i, data = host_encode(it)
+                results[i] = data
+            return
+        with ThreadPoolExecutor(
+            min(len(items), os.cpu_count() or 8)
+        ) as ex:
+            for i, data in ex.map(host_encode, items):
+                results[i] = data
 
 
 # Convenience one-shot APIs -------------------------------------------------
