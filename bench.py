@@ -437,11 +437,22 @@ def main():
     enc_buckets = defaultdict(list)
     for i, ((pix, w, h, ch, cat), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
-        m_pad = _bucket(len(stream))
-        n_max = _bucket(w * h, 32768)
+        # icon-class images take the reduced-tile front (decode_v2): pow2
+        # buffers below 32768 instead of a full tile of padding
+        if len(stream) <= 16384:
+            m_pad = max(4096, 1 << (len(stream) - 1).bit_length())
+        else:
+            m_pad = _bucket(len(stream))
+        if w * h <= 16384:
+            n_max = max(2048, 1 << (w * h - 1).bit_length())
+        else:
+            n_max = _bucket(w * h, 32768)
         dec_buckets[(cat, desc.col_channels, desc.norm_channels, m_pad,
                      n_max)].append(i)
-        n_pad = _bucket(w * h)
+        if w * h <= 16384:
+            n_pad = max(4096, 1 << (w * h - 1).bit_length())
+        else:
+            n_pad = _bucket(w * h)
         enc_buckets[(cat, desc.col_channels, desc.has_alpha, n_pad)].append(i)
 
     def timed(fn, args, n=runs):
@@ -802,6 +813,28 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
     _note("qoi section")
     q_items = [(i, q) for i, q in enumerate(qoi_streams) if q is not None]
     q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
+
+    # INDEX-chain depth probe over the whole .qoi corpus: the dispatch
+    # predictor (native.compat_probe) + its measured per-category depth
+    # distribution (VERDICT r3 #4). Accuracy vs the real fixpoint is
+    # scored further down once the convergence flags exist.
+    t0 = time.perf_counter()
+    depths = {i: native.compat_probe(q)[0] for i, q in q_items}
+    t_probe = time.perf_counter() - t0
+    fp_cap = decode_compat._MAX_ITERS
+    cat_depth = defaultdict(list)
+    for i, _ in q_items:
+        cat_depth[corpus[i][4]].append(depths[i])
+    for cat in sorted(cat_depth):
+        d = np.array(cat_depth[cat])
+        print(f"[qoi probe] {cat:14s} n={len(d):4d} depth p50={int(np.median(d)):4d} "
+              f"p90={int(np.percentile(d, 90)):4d} max={int(d.max()):5d} "
+              f"shallow={100.0 * (d < fp_cap).mean():5.1f}%",
+              file=sys.stderr)
+    shallow_px = sum(
+        corpus[i][1] * corpus[i][2] for i, _ in q_items
+        if depths[i] < fp_cap
+    )
     # the host legs are single-threaded per core; sample a bounded slice so
     # the pool timing doesn't dominate bench wall time at large scales
     sample_mpx = 120e6 if budget.ok(420) else 60e6
@@ -819,6 +852,23 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
     t0 = time.perf_counter()
     qdec(hstreams)
     q_dec_t = time.perf_counter() - t0
+
+    # probe-dispatched auto mode over the same sample: shallow streams ride
+    # the TPU fixpoint, deep ones the host pool, concurrently
+    saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
+    os.environ["SEQOIA_COMPAT_TPU"] = "auto"
+    try:
+        qres = qdec(hstreams)  # warm (fixpoint compiles for these buckets)
+        q_auto_ok = sum(r.pixels is not None for r in qres)
+        del qres
+        t0 = time.perf_counter()
+        qdec(hstreams)
+        q_auto_t = time.perf_counter() - t0
+    finally:
+        if saved_mode is None:
+            os.environ.pop("SEQOIA_COMPAT_TPU", None)
+        else:
+            os.environ["SEQOIA_COMPAT_TPU"] = saved_mode
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -902,7 +952,7 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
             ffn = functools.partial(
                 decode_compat.decode_stream_compat_batched,
                 colch=3, out_ch=4, n_max=int(n_max))
-            fp_plans.append((ffn, fargs, len(idxs)))
+            fp_plans.append((ffn, fargs, list(idxs)))
 
     @jax.jit
     def _fp_conv_all(all_args):
@@ -916,9 +966,13 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
     conv_all = np.asarray(jax.device_get(
         _fp_conv_all([a for _, a, _ in fp_plans])))
     fp_conv = 0
+    probe_hits = 0
     off = 0
-    for _, fa, nlive in fp_plans:
-        fp_conv += int(conv_all[off : off + nlive].sum())
+    for _, fa, idxs in fp_plans:
+        for k, i in enumerate(idxs):
+            conv = bool(conv_all[off + k])
+            fp_conv += conv
+            probe_hits += (depths[i] < fp_cap) == conv
         off += fa[0].shape[0]
 
     @jax.jit
@@ -1010,13 +1064,15 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
 
     host_dec = hs_px / q_dec_t / 1e6
     host_enc = hs_px / q_enc_t / 1e6
+    auto_dec = hs_px / q_auto_t / 1e6
     hybrid_dec = q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6
-    best_dec = max(host_dec, hybrid_dec)
+    best_dec = max(host_dec, hybrid_dec, auto_dec)
     best_enc = max(host_enc, qe_mpxs)
     qoi = {
         "qoi_decode_mpxs": round(best_dec, 1),
         "qoi_encode_mpxs": round(best_enc, 1),
         "qoi_decode_dispatch": (
+            "auto" if best_dec == auto_dec else
             "tpu+fallback" if hybrid_dec > host_dec else "host"),
         "qoi_encode_dispatch": "tpu" if qe_mpxs > host_enc else "host",
         "qoi_decode_vs_ref": round(best_dec / BASELINE_QOI_DECODE_MPXS, 2),
@@ -1029,6 +1085,12 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
         "qoi_tpu_encode_parity_n": qe_parity,
         "qoi_host_parity_n": q_dec_ok,
         "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
+        "qoi_auto_decode_mpxs": round(auto_dec, 1),
+        "qoi_auto_parity_n": q_auto_ok,
+        "qoi_probe_mpxs": round(q_px / t_probe / 1e6, 1),
+        "qoi_probe_shallow_px_pct": round(100.0 * shallow_px / q_px, 1),
+        "qoi_probe_accuracy_pct": round(
+            100.0 * probe_hits / len(q_items), 1),
         **ref_onbox,
     }
     if "qoi_ref_onbox_decode_mpxs" in ref_onbox:

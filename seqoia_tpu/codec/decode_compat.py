@@ -194,7 +194,8 @@ def decode_stream_compat_batched(data, chunks_len, n_pixels, *, colch,
     pixoff = scan_ops.blocked_cumsum(npix) - npix
 
     valid_op = valid & (pixoff < n_max)
-    if expand != "xla" and decode_v2._use_pallas_expand(mo, n_max):
+    if expand != "xla" and mo % 32768 == 0 and decode_v2._use_pallas_expand(
+            mo, n_max):
         pad = 8192
         keys_p = jnp.pad(jnp.where(valid_op, pixoff, 2**30), ((0, 0), (0, pad)))
         px_p = jnp.pad(px, ((0, 0), (0, pad)))

@@ -209,15 +209,21 @@ def _dec_epilogue_mono(out_ch: int):
 
 
 def _use_pallas_expand(m: int, n_max: int) -> bool:
+    # small power-of-two buffers below the 32768 tile run the front at a
+    # reduced tile height (rows = m/128): icon-class buckets would
+    # otherwise pay a full 256-row tile of front compute for a few KB of
+    # real bytes (pallas_frontend._front_compact_kernel skips only tiles
+    # wholly past the stream)
+    ok_m = m % 32768 == 0 or m in (4096, 8192, 16384)
     import os
 
     if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
-        return m % 32768 == 0 and n_max % 2048 == 0
+        return ok_m and n_max % 2048 == 0
     try:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    return backend != "cpu" and m % 32768 == 0 and n_max % 2048 == 0
+    return backend != "cpu" and ok_m and n_max % 2048 == 0
 
 
 @functools.partial(
@@ -262,9 +268,10 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
         mode = (
             "mono" if colch == 1 else ("alpha" if src_alpha else "noalpha")
         )
+        rows = 256 if m0 % 32768 == 0 else m0 // 128
         keys_c, pays_c, totals, ref_flag = (
             pallas_frontend.decode_front_compact(
-                data, chunks_len, n_max, mode=mode
+                data, chunks_len, n_max, mode=mode, rows=rows
             )
         )
         init = int(np.int32(np.uint32(255 << 24)))
@@ -316,7 +323,9 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     valid_op = is_op & (npix > 0) & (pixoff < n_max)
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
     bsz, m = b.shape
-    if expand != "xla" and _use_pallas_expand(m, n_max):
+    # (the legacy engine path keeps the full-tile requirement; small
+    # power-of-two buffers are only supported by the fused front above)
+    if expand != "xla" and m % 32768 == 0 and _use_pallas_expand(m, n_max):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals = pallas_engine.compact(
@@ -448,7 +457,7 @@ def decode_stream_flat(data, chunks_len, n_pixels, *, colch, out_ch, n_max,
     valid_op = is_op & (npix > 0) & (pixoff < n_max)
     init_packed = jnp.int32(np.int32(np.uint32(255 << 24)))
     m = b.shape[0]
-    if expand != "xla" and _use_pallas_expand(m, n_max):
+    if expand != "xla" and m % 32768 == 0 and _use_pallas_expand(m, n_max):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals = pallas_engine.compact(

@@ -232,13 +232,17 @@ def _emit_epilogue(colch: int):
 def _use_pallas_spread(n: int, out_cap: int) -> bool:
     import os
 
+    # small power-of-two pixel buffers run the front at a reduced tile
+    # height (rows = n/128): icon-class buckets would otherwise pay a full
+    # 256-row tile of front compute for a few thousand real pixels
+    ok_n = n % 32768 == 0 or n in (4096, 8192, 16384)
     if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
-        return n % 32768 == 0 and out_cap % 2048 == 0
+        return ok_n and out_cap % 2048 == 0
     try:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    return backend != "cpu" and n % 32768 == 0 and out_cap % 2048 == 0
+    return backend != "cpu" and ok_n and out_cap % 2048 == 0
 
 
 @functools.partial(
@@ -262,7 +266,10 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
         from ..ops import pallas_encode, pallas_engine
 
         keys_c, pays_c, totals_c, chunk_totals, last_c = (
-            pallas_encode.encode_front_compact(packed, n_valid, colch=colch)
+            pallas_encode.encode_front_compact(
+                packed, n_valid, colch=colch,
+                rows=256 if n % 32768 == 0 else n // 128,
+            )
         )
         trail_pending = ((n_valid - 1) - last_c) % maxrun
         has_trail = (trail_pending > 0) & (n_valid > 0)
@@ -368,7 +375,9 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
     has_trail = (trail_pending > 0) & (n_valid > 0)
     total = chunk_total + 8 + has_trail.astype(jnp.int32)
 
-    if spread != "xla" and _use_pallas_spread(n, out_cap):
+    # (the legacy engine path keeps the full-tile requirement; small
+    # power-of-two buffers are only supported by the fused front above)
+    if spread != "xla" and n % 32768 == 0 and _use_pallas_spread(n, out_cap):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals_c = pallas_engine.compact(
@@ -563,6 +572,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
                 colch=colch,
                 init_prev=jnp.asarray(init_prev, jnp.int32).reshape(1),
                 lc0=-(jnp.asarray(run_in, jnp.int32).reshape(1) + 1),
+                rows=256 if n % 32768 == 0 else n // 128,
             )
         )
         chunk_total = chunk_totals[0]
@@ -653,7 +663,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
         emit_tail != 0, 8 + has_trail.astype(jnp.int32), 0
     )
 
-    if spread != "xla" and _use_pallas_spread(n, out_cap):
+    if spread != "xla" and n % 32768 == 0 and _use_pallas_spread(n, out_cap):
         from ..ops import pallas_engine
 
         keys_c, pays_c, totals_c = pallas_engine.compact(

@@ -63,7 +63,9 @@ def _w8(x):
     return ((x + 128) & 255) - 128
 
 
-def _front_kernel(colch, *refs):
+def _front_kernel(colch, rows, *refs):
+    _TILE = rows * _L
+    _OBUF_ROWS = rows + 8
     (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, scal_ref,
      ob0, ob1, ob2, crow, carry, sem) = refs
     obufs = (ob0, ob1, ob2)
@@ -95,7 +97,7 @@ def _front_kernel(colch, *refs):
     # front-end work on small images)
     @pl.when(t * _TILE < nv)
     def _():
-        _front_tile_body(colch, refs, bi, t, nv)
+        _front_tile_body(colch, refs, bi, t, nv, rows)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -124,10 +126,14 @@ def _front_kernel(colch, *refs):
             carry[_C_OPEND] = -1
 
 
-def _front_tile_body(colch, refs, bi, t, nv):
+def _front_tile_body(colch, refs, bi, t, nv, rows=_ROWS):
     (px_ref, nv_ref, ip_ref, lc0_ref, kout, p0out, p1out, scal_ref,
      ob0, ob1, ob2, crow, carry, sem) = refs
     obufs = (ob0, ob1, ob2)
+    _ROWS = rows                 # shadow the module defaults: tile-relative
+    _TILE = rows * _L
+    _OBUF_ROWS = rows + 8
+    nbits = max((_TILE - 1).bit_length(), 1)
 
     px = px_ref[0]  # (ROWS, L) int32 packed pixels
     flat = ktools.iota2((_ROWS, _L), 0) * _L + ktools.iota2((_ROWS, _L), 1)
@@ -207,7 +213,7 @@ def _front_tile_body(colch, refs, bi, t, nv):
     d = jnp.where(
         emit != 0, (flat - (incl - emit)) | (total_len << 16), ktools.HOLE
     )
-    d, (px_c, meta_c) = ktools.butterfly_compact(d, [px, meta], 15)
+    d, (px_c, meta_c) = ktools.butterfly_compact(d, [px, meta], nbits)
     tl_c = jnp.where(d >= 0, d >> 16, 0)
     off_incl = ktools.lane_row_scan(tl_c, lambda a, c: a + c, 0)
     offsets_c = off_incl - tl_c + carry[_C_OFF]
@@ -260,11 +266,14 @@ def _front_tile_body(colch, refs, bi, t, nv):
     carry[_C_LASTC] = ktools.extract(last_change, _ROWS - 1, _L - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("colch",))
-def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
+@functools.partial(jax.jit, static_argnames=("colch", "rows"))
+def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None,
+                         rows=_ROWS):
     """Fused encode front-end + compaction for non-compat streams.
 
-    packed: (B, N) int32 normalized pixels, N % 32768 == 0. The optional
+    packed: (B, N) int32 normalized pixels, N % (rows*128) == 0 (rows
+    defaults to the full 256-row tile; small pow2 buffers pass a reduced
+    tile height, mirroring pallas_frontend.decode_front_compact). The optional
     per-row boundary state makes each row a SHARD of a larger image:
     ``init_prev`` is the packed pixel preceding the row (default: the
     codec's initial state) and ``lc0 = -(run_in+1)`` encodes a carried-in
@@ -275,15 +284,17 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
     chunk_totals (B,), last_change (B,)).
     """
     b, n = packed.shape
+    _TILE = rows * _L
+    _OBUF_ROWS = rows + 8
     if init_prev is None:
         init_prev = jnp.full((b,), _INIT_PACKED, jnp.int32)
     if lc0 is None:
         lc0 = jnp.full((b,), -1, jnp.int32)
     t = n // _TILE
     rows_out = n // _L + _OBUF_ROWS
-    kern = functools.partial(_front_kernel, colch)
+    kern = functools.partial(_front_kernel, colch, rows)
     in_spec = pl.BlockSpec(
-        (1, _ROWS, _L), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        (1, rows, _L), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -307,7 +318,7 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None):
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_INTERPRET,
-    )(packed.reshape(b, t * _ROWS, _L), n_valid, init_prev, lc0)
+    )(packed.reshape(b, t * rows, _L), n_valid, init_prev, lc0)
     keys = outs[0].reshape(b, rows_out * _L)
     pays = [o.reshape(b, rows_out * _L) for o in outs[1:3]]
     scal = outs[3]

@@ -363,6 +363,15 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     if out_rows is None:
         out_rows = p_out // _L
     win_rows = -(-(p_out + 2 * _L) // _L) // 8 * 8 + 8
+    if mc < win_rows * _L:
+        # small fronts (reduced-tile byte buffers) can compact to fewer
+        # entries than one placement window: pad to one window so the
+        # fixed-size window DMA stays in bounds (filler keys are past any
+        # valid index, same as the totals mask below)
+        pad = win_rows * _L - mc
+        keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=2**30)
+        payloads = [jnp.pad(p, ((0, 0), (0, pad))) for p in payloads]
+        mc = win_rows * _L
     nbits = max((p_out - 1).bit_length(), 1)
     t_out = n_out // p_out
     idx = jnp.arange(mc, dtype=jnp.int32)
@@ -374,7 +383,11 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
         lambda r: jnp.searchsorted(r, bounds, side="left").astype(jnp.int32)
     )(masked)
     lo = jnp.minimum(lo_all[:, :-1], mc - win_rows * _L)
-    hi = jnp.minimum(lo_all[:, 1:], mc - win_rows * _L)
+    # hi only signals tile emptiness in the kernel (hi == lo -> fill-only
+    # fast path): encode it against the CLAMPED lo, not clamped itself —
+    # clamping both made a full window at the array end read as empty
+    empty = lo_all[:, :-1] == lo_all[:, 1:]
+    hi = jnp.where(empty, lo, lo + 1)
     return _place_emit_call(
         lo, hi, totals, scalars, masked, tuple(payloads),
         len(payloads), n_out, p_out, win_rows, nbits, tuple(inits), epilogue,
@@ -495,6 +508,12 @@ def place_fill(keys, payloads, totals, n_out, inits, p_out=4096,
     # window: at most p_out in-range entries (strictly increasing keys) plus
     # head/tail row alignment; rounded to 8 rows for the DMA
     win_rows = -(-(p_out + 2 * _L) // _L) // 8 * 8 + 8
+    if mc < win_rows * _L:
+        # pad small fronts to one window (see place_emit)
+        pad = win_rows * _L - mc
+        keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=2**30)
+        payloads = [jnp.pad(p, ((0, 0), (0, pad))) for p in payloads]
+        mc = win_rows * _L
     nbits = max((p_out - 1).bit_length(), 1)
     t_out = n_out // p_out
     idx = jnp.arange(mc, dtype=jnp.int32)

@@ -140,9 +140,13 @@ class BatchDecoder:
             m_pad = _next_pow2(len(data))
             if desc.qoi_compat and colch == 3:
                 m_pad = max(m_pad, 32768)  # fixpoint path tile alignment
+            elif not desc.qoi_compat:
+                # reduced-tile fused front floor (decode_v2): small images
+                # ride the Pallas path instead of the XLA fallback
+                m_pad = max(m_pad, 4096)
             start = spec.HEADER_SIZE + (0 if desc.qoi_compat else 1)
             max_ops = _next_pow2(max(len(data) - 8 - start, 1))
-            n_max = _next_pow2(desc.n_pixels)
+            n_max = max(_next_pow2(desc.n_pixels), 2048)
             key = (colch, bool(desc.qoi_compat), out_ch, m_pad, max_ops,
                    n_max, desc.has_alpha)
             groups[key].append((i, data, desc))
@@ -345,6 +349,10 @@ class BatchEncoder:
             if pix is None or not spec.validate_encode_desc(desc):
                 continue
             n_pad = _next_pow2(desc.n_pixels)
+            if not desc.qoi_compat:
+                # reduced-tile fused front floor (encode_v2): small images
+                # ride the Pallas path instead of the XLA fallback
+                n_pad = max(n_pad, 4096)
             key = (desc.col_channels, desc.has_alpha, bool(desc.qoi_compat), n_pad)
             groups[key].append((i, pix, desc))
 
