@@ -20,13 +20,19 @@ dispatches fuse into one jitted program (one host round-trip per timed
 run), kernels are compiled once, then timed over ``SEQOIA_BENCH_RUNS``
 repeats with one discarded warmup; synchronization reads back a single
 scalar. Byte-exact parity is verified for every image before any timing
-counts — ON DEVICE, inside the fused program's warmup run: the expected
-bytes upload (H2D ~1.7 GB/s here) and a masked row-equality reduces to one
-bool per image, so parity costs no extra dispatches and no multi-GB D2H.
-The decode expectation needs no host decodes at all: the streams come from
-the reference-pinned oracle encoder, so byte-exact decode parity against
-the *original pixels* is exactly the roundtrip contract
-(sqoabench.c:448-455 memcmp's the same way).
+counts — ON DEVICE, inside the fused program's warmup run, with a masked
+byte-exact compare reducing to one bool per image. The tunnel's H2D runs
+~15-20 MB/s on this box (measured round 4; the byte count, not the
+dispatch count, is the staging wall), so the staging uploads exactly two
+things — the oracle streams and the raw pixel bytes — and derives
+everything else on device: pixels pack to the encoder's int32 layout with
+the Pallas pack kernel, the decode expectation comes from strided slices
+of those packed words, and the encode expectation is a slice of the
+already-uploaded stream bytes. No decoded-pixel or payload oracles cross
+the wire, and no host decode passes run at all (the streams come from the
+reference-pinned oracle encoder, so parity against the original pixels is
+exactly the roundtrip contract — sqoabench.c:448-455 memcmp's the same
+way).
 
 Reported alongside (each section budget-gated, record re-emitted after):
 
@@ -433,27 +439,22 @@ def main():
         c[3] += len(s)
         c[4] += len(q) if q is not None else 0
 
-    dec_buckets = defaultdict(list)
-    enc_buckets = defaultdict(list)
+    buckets = defaultdict(list)
     for i, ((pix, w, h, ch, cat), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
-        # icon-class images take the reduced-tile front (decode_v2): pow2
-        # buffers below 32768 instead of a full tile of padding
+        # icon-class images take the reduced-tile fronts (decode_v2 /
+        # encode_v2): pow2 buffers below 32768 instead of a full tile of
+        # padding
         if len(stream) <= 16384:
             m_pad = max(4096, 1 << (len(stream) - 1).bit_length())
         else:
             m_pad = _bucket(len(stream))
         if w * h <= 16384:
-            n_max = max(2048, 1 << (w * h - 1).bit_length())
-        else:
-            n_max = _bucket(w * h, 32768)
-        dec_buckets[(cat, desc.col_channels, desc.norm_channels, m_pad,
-                     n_max)].append(i)
-        if w * h <= 16384:
             n_pad = max(4096, 1 << (w * h - 1).bit_length())
         else:
             n_pad = _bucket(w * h)
-        enc_buckets[(cat, desc.col_channels, desc.has_alpha, n_pad)].append(i)
+        buckets[(cat, desc.col_channels, desc.has_alpha, desc.norm_channels,
+                 m_pad, n_pad)].append(i)
 
     def timed(fn, args, n=runs):
         """Best-of-n wall time of a jitted fn fenced by a scalar fetch."""
@@ -465,72 +466,157 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # --- batched SQOA decode: staged device-resident, per bucket ------------
-    # Parity is checked ON DEVICE inside the fused warmup: the expected
-    # pixels upload (H2D ~1.7 GB/s) and a masked compare reduces to one
-    # bool per image. The expectation IS the original pixels — the streams
-    # come from the reference-pinned oracle encoder, so decode parity
-    # against them is the roundtrip contract (sqoabench.c:448-455); no
-    # host decode passes needed.
-    _note(f"decode staging: {len(dec_buckets)} buckets, "
-          f"{total_px / 1e6:.0f} Mpx")
+    # --- unified staging: one upload serves both directions -----------------
+    # The tunnel's H2D runs ~15-20 MB/s on this box (measured; the byte
+    # count, not the dispatch count, is the staging wall), so only two
+    # things upload: the oracle STREAMS (decode input + encode expectation)
+    # and the RAW PIXEL BYTES (decode expectation + encode input). Pixels
+    # pack to the encoder's int32 layout ON DEVICE (ops/pallas_pack), and
+    # both parity expectations are derived on device with strided slices —
+    # no decoded-pixel or payload oracles ever cross the wire. Parity is
+    # still a masked byte-exact compare for every image (the roundtrip
+    # contract, sqoabench.c:448-455), fetched as one bool per image inside
+    # each fused warmup.
+    _note(f"staging: {len(buckets)} buckets, {total_px / 1e6:.0f} Mpx")
+    from seqoia_tpu.ops import pallas_pack
 
-    dec_plans = []
-    dec_oracle = []
-    for (cat, colch, out_ch, m_pad, n_max), idxs in dec_buckets.items():
+    plans = []  # (cat, dec_fn, dec_args, enc_fn, packed_ref, meta, mpx)
+    pack_in = []  # (words or packed host arrays, stride) per bucket
+    for (cat, colch, has_alpha, out_ch, m_pad, n_pad), idxs in (
+        buckets.items()
+    ):
         b = len(idxs)
+        stride = colch + has_alpha
         buf = np.zeros((b, m_pad), np.uint8)
         clens = np.zeros(b, np.int32)
         npx = np.zeros(b, np.int32)
-        oracle = np.zeros((b, n_max * out_ch), np.uint8)
-        olen = np.zeros(b, np.int32)
+        raw = np.zeros((b, n_pad * stride), np.uint8)
+        elen = np.zeros(b, np.int32)
         for j, i in enumerate(idxs):
             s = streams[i]
             pix, w, h, ch, _ = corpus[i]
             buf[j, : len(s)] = np.frombuffer(s, np.uint8)
             clens[j] = len(s) - spec.PADDING_SIZE
             npx[j] = w * h
-            oracle[j, : len(pix)] = pix  # ch in 1..4: normalized == raw
-            olen[j] = len(pix)
-        args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
-        fn = functools.partial(
-            decode_v2.decode_stream_batched,
-            colch=colch, compat=False, out_ch=out_ch, n_max=n_max,
-            emit="words" if (n_max * out_ch) % 4 == 0 else "u8",
-            src_alpha=(out_ch in (2, 4)),
-        )
-        dec_oracle.append((jnp.asarray(oracle), jnp.asarray(olen)))
-        del oracle
-        dec_plans.append((cat, fn, args, sum(
-            corpus[i][1] * corpus[i][2] for i in idxs)))
-
-    def _row_parity(out, oracle, olen):
-        if out.dtype != jnp.uint8:
-            ou8 = jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(
-                out.shape[0], -1)
+            raw[j, : len(pix)] = pix  # ch in 1..4: normalized == raw
+            elen[j] = len(s) - (spec.HEADER_SIZE + 1)
+        if n_pad % 32768 == 0 and stride < 4:
+            # raw words upload (stride bytes/px); device packing below
+            pack_in.append((jnp.asarray(raw.view("<i4")), stride))
+        elif stride == 4:
+            pack_in.append((jnp.asarray(raw.view("<i4")), 4))
         else:
-            ou8 = out.reshape(out.shape[0], -1)
-        keep = jnp.arange(ou8.shape[1], dtype=jnp.int32)[None, :] < (
-            olen[:, None])
-        oracle = oracle.reshape(ou8.shape[0], -1)
-        return jnp.all((ou8 == oracle) | ~keep, axis=1)
+            # small bucket: host-packed (tiny: icons only)
+            rgba = np.zeros((b, n_pad), np.int32)
+            for j, i in enumerate(idxs):
+                pix, w, h, ch, _ = corpus[i]
+                rgba[j, : w * h] = encode_jax.normalize_pixels_packed(
+                    pix, sq.SqoaDesc(w, h, ch, 0, 0))
+            pack_in.append((jnp.asarray(rgba), 0))
+        del raw
+        dec_fn = functools.partial(
+            decode_v2.decode_stream_batched,
+            colch=colch, compat=False, out_ch=out_ch, n_max=n_pad,
+            emit="words", src_alpha=(out_ch in (2, 4)),
+        )
+        # adaptive cap, as the production BatchEncoder sizes it steady-state
+        # (observed bytes/px + slack; overflow would retry exactly)
+        cap = spec.cap_bucket(max(len(streams[i]) for i in idxs) * 5 // 4)
+        enc_fn = functools.partial(
+            encode_v2.encode_stream_batched,
+            colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
+        )
+        dec_args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
+        plans.append(dict(
+            cat=cat, colch=colch, out_ch=out_ch, dec_fn=dec_fn,
+            dec_args=dec_args, enc_fn=enc_fn, cap=int(cap),
+            elen=jnp.asarray(elen), idxs=idxs,
+            mpx=sum(corpus[i][1] * corpus[i][2] for i in idxs),
+        ))
+
+    # device packing: one fused program over every bucket (raw words ->
+    # packed int32 pixels, pallas_pack butterfly expand; stride 4 and
+    # host-packed buckets pass through)
+    @jax.jit
+    def pack_all(ins):
+        outs = []
+        for x, stride in zip(ins, [s for _, s in pack_in]):
+            if stride in (0, 4):
+                outs.append(x)
+            else:
+                outs.append(pallas_pack.pack_words(x, stride))
+        return outs
+
+    packed_all = pack_all([x for x, _ in pack_in])
+    for p, pk in zip(plans, packed_all):
+        p["packed"] = pk
+    del pack_in, packed_all
+
+    def _dec_expected_ok(plan, out):
+        """Masked compare of the decode output against the packed pixels,
+        derived entirely on device (strided slices keep every intermediate
+        in a clean dense layout — no bitcasts to minor-dim byte axes)."""
+        packed = plan["packed"]
+        npx = plan["dec_args"][2]
+        bsz, n = packed.shape
+        out_ch = plan["out_ch"]
+        if plan["colch"] == 1:
+            # mono packing: 0 | gray<<8 | 0 | alpha<<24
+            gray = (packed >> 8) & 255
+            if out_ch == 1:
+                exp = gray.astype(jnp.uint8)
+            else:
+                exp = (gray | (((packed >> 24) & 255) << 8)).astype(
+                    jnp.uint16)
+            keep = jnp.arange(n, dtype=jnp.int32)[None, :] < npx[:, None]
+            return jnp.all((out == exp) | ~keep, axis=1)
+        if out_ch == 4:
+            keep = jnp.arange(n, dtype=jnp.int32)[None, :] < npx[:, None]
+            return jnp.all((out == packed) | ~keep, axis=1)
+        # out_ch == 3: words carry interleaved RGB; word class k (mod 3)
+        # mixes pixels 4t+k..4t+k+1. Compare per class against packed
+        # slices — 3 strided compares, no interleave materialization.
+        p0 = packed[:, 0::4]
+        p1 = packed[:, 1::4]
+        p2 = packed[:, 2::4]
+        p3 = packed[:, 3::4]
+        w0 = (p0 & 0xFFFFFF) | ((p1 & 255) << 24)
+        w1 = ((p1 >> 8) & 0xFFFF) | ((p2 & 0xFFFF) << 16)
+        w2 = ((p2 >> 16) & 255) | (p3 << 8)
+        q = n // 4
+        t_idx = jnp.arange(q, dtype=jnp.int32)[None, :]
+        oks = jnp.ones((bsz,), bool)
+        for k, wk in enumerate((w0, w1, w2)):
+            got = out[:, k::3]
+            # word 3t+k covers byte range [12t+4k, 12t+4k+4) of the
+            # interleaved stream; valid while below npx*3
+            keep = (12 * t_idx + 4 * k) < (npx[:, None] * 3)
+            # partial trailing word: compare only its in-range bytes
+            nby = jnp.clip(npx[:, None] * 3 - (12 * t_idx + 4 * k), 0, 4)
+            mask_bits = jnp.where(
+                nby >= 4, -1,
+                (1 << (8 * jnp.minimum(nby, 3))) - 1,
+            )
+            oks = oks & jnp.all(
+                (((got ^ wk) & mask_bits) == 0) | ~keep, axis=1)
+        return oks
 
     @jax.jit
-    def dec_parity_all(all_args, oracles):
+    def dec_parity_all(all_args, packs):
         oks = []
-        for (_, fn, _, _), args, (oracle, olen) in zip(
-            dec_plans, all_args, oracles
-        ):
-            out, _ = fn(*args)
-            oks.append(_row_parity(out, oracle, olen))
+        for plan, args, pk in zip(plans, all_args, packs):
+            out, _ = plan["dec_fn"](*args)
+            oks.append(_dec_expected_ok(dict(plan, packed=pk,
+                                             dec_args=args), out))
         return jnp.concatenate(oks)
 
     _note("decode parity (fused warmup)")
-    parity_ok = int(np.asarray(jax.device_get(
-        dec_parity_all([a for _, _, a, _ in dec_plans], dec_oracle)
-    )).sum())
-    del dec_oracle
+    parity_ok = int(np.asarray(jax.device_get(dec_parity_all(
+        [p["dec_args"] for p in plans], [p["packed"] for p in plans]
+    ))).sum())
     _note(f"decode parity {parity_ok}/{len(corpus)}")
+    dec_plans = [(p["cat"], p["dec_fn"], p["dec_args"], p["mpx"])
+                 for p in plans]
 
     def fuse_decode(plans):
         @jax.jit
@@ -569,64 +655,36 @@ def main():
             float(all_dec([a for _, _, a, _ in dec_plans]))
 
     # --- batched SQOA encode ------------------------------------------------
-    # Parity on device inside the fused warmup, same scheme as decode:
-    # upload the oracle payloads, require exact totals + masked byte
-    # equality, fetch one bool per image.
-    _note(f"encode staging: {len(enc_buckets)} buckets")
-
-    enc_plans = []
-    enc_oracle = []
-    for (cat, colch, has_alpha, n_pad), idxs in enc_buckets.items():
-        b = len(idxs)
-        rgba = np.zeros((b, n_pad), np.int32)
-        nval = np.zeros(b, np.int32)
-        for j, i in enumerate(idxs):
-            pix, w, h, ch, _ = corpus[i]
-            desc = sq.SqoaDesc(w, h, ch, 0, 0)
-            rgba[j, : w * h] = encode_jax.normalize_pixels_packed(pix, desc)
-            nval[j] = w * h
-        # adaptive cap, as the production BatchEncoder sizes it steady-state
-        # (observed bytes/px + slack; overflow would retry exactly)
-        bucket_max = max(len(streams[i]) for i in idxs)
-        cap = spec.cap_bucket(bucket_max * 5 // 4)
-        exp = np.zeros((b, int(cap)), np.uint8)
-        elen = np.zeros(b, np.int32)
-        for j, i in enumerate(idxs):
-            pix, w, h, ch, _ = corpus[i]
-            desc = sq.SqoaDesc(w, h, ch, 0, 0)
-            payload = streams[i][len(spec.pack_header(desc)):]
-            exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-            elen[j] = len(payload)
-        args = (jnp.asarray(rgba), jnp.asarray(nval))
-        fn = functools.partial(
-            encode_v2.encode_stream_batched,
-            colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
-        )
-        enc_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
-        del exp, rgba
-        enc_plans.append((cat, fn, args, sum(
-            corpus[i][1] * corpus[i][2] for i in idxs)))
-
+    # Input = the device-packed pixels from the unified staging; parity
+    # compares the emitted bytes against the already-uploaded stream
+    # buffers (payload = stream bytes from HEADER+1 on) — exact totals +
+    # masked byte equality, one bool per image, nothing new uploaded.
     @jax.jit
-    def enc_parity_all(all_args, oracles):
+    def enc_parity_all(packs, dec_args_all, elens):
         oks = []
-        for (_, fn, _, _), args, (exp, elen) in zip(
-            enc_plans, all_args, oracles
-        ):
-            out, totals = fn(*args)
-            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
-                elen[:, None])
+        for plan, pk, dargs, elen in zip(plans, packs, dec_args_all, elens):
+            out, totals = plan["enc_fn"](pk, dargs[2])
+            buf = dargs[0]
+            L = min(out.shape[1], buf.shape[1] - (spec.HEADER_SIZE + 1))
+            exp = jax.lax.slice_in_dim(
+                buf, spec.HEADER_SIZE + 1, spec.HEADER_SIZE + 1 + L, axis=1)
+            keep = jnp.arange(L, dtype=jnp.int32)[None, :] < elen[:, None]
             oks.append(
-                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+                (totals == elen)
+                & jnp.all((out[:, :L] == exp) | ~keep, axis=1)
             )
         return jnp.concatenate(oks)
 
     _note("encode parity (fused warmup)")
-    enc_parity = int(np.asarray(jax.device_get(
-        enc_parity_all([a for _, _, a, _ in enc_plans], enc_oracle)
-    )).sum())
-    del enc_oracle
+    enc_parity = int(np.asarray(jax.device_get(enc_parity_all(
+        [p["packed"] for p in plans], [p["dec_args"] for p in plans],
+        [p["elen"] for p in plans],
+    ))).sum())
     _note(f"encode parity {enc_parity}/{len(corpus)}")
+    enc_plans = [
+        (p["cat"], p["enc_fn"], (p["packed"], p["dec_args"][2]), p["mpx"])
+        for p in plans
+    ]
 
     def fuse_encode(plans):
         @jax.jit
@@ -739,7 +797,7 @@ def main():
 
     # release the sqoa staging before the qoi/large/API sections — each of
     # those stages multi-GB device buffers of its own
-    del dec_plans, enc_plans, args
+    del dec_plans, enc_plans
     import gc
 
     gc.collect()
@@ -748,13 +806,14 @@ def main():
     if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(240):
         try:
             _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
-                         runs)
+                         runs, plans)
         except Exception as e:  # optional section: record, keep the line
             _note(f"qoi section failed: {e!r}")
             em.update(qoi_error=repr(e)[:200])
         em.emit(budget)
     else:
         em.skipped.append("qoi")
+    del plans  # release the unified staging (streams + packed pixels)
     gc.collect()
 
     # --- large single image (100 Mpx, BASELINE config 5) --------------------
@@ -795,7 +854,8 @@ def main():
     em.emit(budget, final=True)
 
 
-def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
+def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
+                 plans):
     """`.qoi` decode/encode through the production dispatch. Both
     dispatches are timed and the winner is the headline: the host pool
     scales with cores (this box has ONE, capping it at ~0.7x the
@@ -989,46 +1049,36 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs):
     # pool, so their pixels are charged at the measured host rate
     unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
 
-    # TPU compat encode (slot last-writer hash resolution), bucketed and
-    # sub-batched like the fixpoint leg; parity on device in the fused
-    # warmup (upload expected payloads, masked compare + exact totals)
+    # TPU compat encode (slot last-writer hash resolution): reuses the
+    # unified staging's device-packed pixels (nothing re-uploads except
+    # the expected .qoi payloads for parity), one compat encode per color
+    # bucket; parity on device in the fused warmup (exact totals + masked
+    # byte equality)
     del fp_plans
     gc.collect()
-    qe_buckets = defaultdict(list)
-    for i, q in q_items:
-        d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
-        qe_buckets[(d.has_alpha, _bucket(d.n_pixels))].append(i)
     qe_plans = []
     qe_oracle = []
-    for (has_alpha, n_pad), all_idxs in qe_buckets.items():
-        b_cap = max(1, (24 << 20) // n_pad)
-        for c0 in range(0, len(all_idxs), b_cap):
-            idxs = all_idxs[c0 : c0 + b_cap]
-            b = b_cap if len(all_idxs) > b_cap else len(idxs)
-            rgba = np.zeros((b, n_pad), np.int32)
-            nval = np.zeros(b, np.int32)
-            for j, i in enumerate(idxs):
-                p, w, h, ch, _ = corpus[i]
-                d = sq.SqoaDesc(w, h, ch, 0, 1)
-                rgba[j, : w * h] = encode_jax.normalize_pixels_packed(p, d)
-                nval[j] = w * h
-            cap = spec.cap_bucket(
-                max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
-            exp = np.zeros((b, int(cap)), np.uint8)
-            elen = np.zeros(b, np.int32)
-            for j, i in enumerate(idxs):
-                d = sq.SqoaDesc(*corpus[i][1:4], 0, 1)
-                payload = qoi_streams[i][len(spec.pack_header(d)):]
-                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-                elen[j] = len(payload)
-            eargs = (jnp.asarray(rgba), jnp.asarray(nval))
-            efn = functools.partial(
-                encode_v2.encode_stream_batched,
-                colch=3, has_alpha=bool(has_alpha), compat=True,
-                out_cap=int(cap))
-            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
-            del exp, rgba
-            qe_plans.append((efn, eargs, len(idxs)))
+    for plan in plans:
+        if plan["colch"] != 3:
+            continue
+        idxs = plan["idxs"]
+        b = len(idxs)
+        cap = spec.cap_bucket(
+            max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
+        exp = np.zeros((b, int(cap)), np.uint8)
+        elen = np.zeros(b, np.int32)
+        for j, i in enumerate(idxs):
+            payload = qoi_streams[i][spec.HEADER_SIZE:]
+            exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+            elen[j] = len(payload)
+        efn = functools.partial(
+            encode_v2.encode_stream_batched,
+            colch=3, has_alpha=bool(plan["out_ch"] == 4), compat=True,
+            out_cap=int(cap))
+        qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+        del exp
+        eargs = (plan["packed"], plan["dec_args"][2])
+        qe_plans.append((efn, eargs, len(idxs)))
 
     @jax.jit
     def _qe_parity_all(all_args, oracles):
