@@ -681,10 +681,42 @@ def main():
         [p["elen"] for p in plans],
     ))).sum())
     _note(f"encode parity {enc_parity}/{len(corpus)}")
-    enc_plans = [
-        (p["cat"], p["enc_fn"], (p["packed"], p["dec_args"][2]), p["mpx"])
-        for p in plans
-    ]
+
+    # coarse per-category encode groups: concat the unified buckets'
+    # packed pixels along the batch dim (same n_pad within a category) —
+    # the encode kernels prefer wide batches, and the fused timed program
+    # (and the qoi TPU-encode leg) then carries ~a dozen subprograms
+    # instead of ~70. The fine-grained packed views free right after.
+    coarse = defaultdict(list)
+    for p in plans:
+        coarse[(p["cat"], p["colch"], p["out_ch"],
+                int(p["packed"].shape[1]))].append(p)
+    enc_plans = []
+    enc_groups = []  # kept for the qoi TPU-encode leg
+    for (cat, colch, out_ch, n_pad), group in coarse.items():
+        gidxs = [i for p in group for i in p["idxs"]]
+        packed_cat = (
+            group[0]["packed"] if len(group) == 1
+            else jnp.concatenate([p["packed"] for p in group], axis=0)
+        )
+        nval_cat = (
+            group[0]["dec_args"][2] if len(group) == 1
+            else jnp.concatenate([p["dec_args"][2] for p in group])
+        )
+        cap = spec.cap_bucket(max(len(streams[i]) for i in gidxs) * 5 // 4)
+        fn = functools.partial(
+            encode_v2.encode_stream_batched,
+            colch=colch, has_alpha=(out_ch - colch == 1), compat=False,
+            out_cap=int(cap),
+        )
+        mpx = sum(corpus[i][1] * corpus[i][2] for i in gidxs)
+        enc_plans.append((cat, fn, (packed_cat, nval_cat), mpx))
+        enc_groups.append(dict(
+            cat=cat, colch=colch, out_ch=out_ch, idxs=gidxs,
+            packed=packed_cat, nval=nval_cat,
+        ))
+    for p in plans:
+        p["packed"] = None  # fine views freed; coarse groups own the data
 
     def fuse_encode(plans):
         @jax.jit
@@ -795,9 +827,12 @@ def main():
         file=sys.stderr,
     )
 
-    # release the sqoa staging before the qoi/large/API sections — each of
-    # those stages multi-GB device buffers of its own
+    # release what the remaining sections don't need: the per-direction
+    # plan views and the stream buffers (decode timing/cats are done; the
+    # qoi leg only needs the coarse packed groups)
     del dec_plans, enc_plans
+    for p in plans:
+        p["dec_args"] = (None,) + p["dec_args"][1:]
     import gc
 
     gc.collect()
@@ -806,14 +841,14 @@ def main():
     if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(240):
         try:
             _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
-                         runs, plans)
+                         runs, enc_groups)
         except Exception as e:  # optional section: record, keep the line
             _note(f"qoi section failed: {e!r}")
             em.update(qoi_error=repr(e)[:200])
         em.emit(budget)
     else:
         em.skipped.append("qoi")
-    del plans  # release the unified staging (streams + packed pixels)
+    del plans, enc_groups  # release the staging (streams + packed pixels)
     gc.collect()
 
     # --- large single image (100 Mpx, BASELINE config 5) --------------------
@@ -855,7 +890,7 @@ def main():
 
 
 def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
-                 plans):
+                 enc_groups):
     """`.qoi` decode/encode through the production dispatch. Both
     dispatches are timed and the winner is the headline: the host pool
     scales with cores (this box has ONE, capping it at ~0.7x the
@@ -1058,10 +1093,10 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     gc.collect()
     qe_plans = []
     qe_oracle = []
-    for plan in plans:
-        if plan["colch"] != 3:
+    for grp in enc_groups:
+        if grp["colch"] != 3:
             continue
-        idxs = plan["idxs"]
+        idxs = grp["idxs"]
         b = len(idxs)
         cap = spec.cap_bucket(
             max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
@@ -1073,11 +1108,11 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             elen[j] = len(payload)
         efn = functools.partial(
             encode_v2.encode_stream_batched,
-            colch=3, has_alpha=bool(plan["out_ch"] == 4), compat=True,
+            colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
             out_cap=int(cap))
         qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
         del exp
-        eargs = (plan["packed"], plan["dec_args"][2])
+        eargs = (grp["packed"], grp["nval"])
         qe_plans.append((efn, eargs, len(idxs)))
 
     @jax.jit

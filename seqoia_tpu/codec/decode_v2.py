@@ -284,7 +284,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
                 keys_c, pays_c, totals, n_pixels[:, None], n_max, (init,),
                 _dec_epilogue_mono(out_ch), p_out=p_out,
                 out_dtype=jnp.uint8 if out_ch == 1 else jnp.uint16,
-                max_gap=spec.SQOA_MAXRUN - 1,
+                max_gap=spec.SQOA_MAXRUN - 1, entry_limit=m0,
             )
             if emit == "words" or out_ch == 1:
                 return out, ref_flag != 0
@@ -299,7 +299,7 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
             words = pallas_engine.place_emit(
                 keys_c, pays_c, totals, n_pixels[:, None], n_max, (init,),
                 _dec_epilogue(out_ch), p_out=p_out, out_rows=out_rows,
-                out_dtype=jnp.int32,
+                out_dtype=jnp.int32, entry_limit=m0,
                 max_gap=spec.SQOA_MAXRUN - 1,  # an op covers <= MAXRUN px
             )
             if emit == "words":

@@ -284,7 +284,7 @@ def encode_stream_batched(packed, n_valid, *, colch, has_alpha, compat,
             _emit_epilogue(colch),
             max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
-            fill_keys=True,
+            fill_keys=True, entry_limit=n,
         )
         return out, total
 
@@ -591,7 +591,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             _emit_epilogue(colch),
             max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
-            fill_keys=True,
+            fill_keys=True, entry_limit=n,
         )[0]
         return out, total
 
@@ -679,7 +679,7 @@ def encode_stream_flat(packed, n_valid, *, colch, has_alpha, out_cap,
             _emit_epilogue(colch),
             max_gap=14,  # an emitting pixel writes <= 9 flush + 5 op bytes
             p_out=next(p for p in (32768, 16384, 8192, 4096, 2048) if out_cap % p == 0),
-            fill_keys=True,
+            fill_keys=True, entry_limit=n,
         )[0]
         return out, total
     else:

@@ -341,7 +341,7 @@ def _place_emit_call(lo, hi, totals, scal, keys, pays, n_pay, n_out, p_out,
 
 def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
                p_out=4096, out_rows=None, out_dtype=jnp.uint8,
-               fill_keys=False, max_gap=None):
+               fill_keys=False, max_gap=None, entry_limit=None):
     """place_fill fused with an emission epilogue.
 
     Same placement/fill semantics as ``place_fill``, but instead of
@@ -356,22 +356,30 @@ def place_emit(keys, payloads, totals, scalars, n_out, inits, epilogue,
     fill_keys=True appends a forward-filled copy of the governing entry's
     KEY to the epilogue's filled list (inits must carry its init as the
     extra last element) — synthesized in-kernel from each entry's
-    expanded slot, so no duplicate keys payload rides the butterfly."""
+    expanded slot, so no duplicate keys payload rides the butterfly.
+
+    entry_limit (optional): static upper bound on the number of VALID
+    entries. The window DMA reads win_rows*128 entries from each tile's
+    first-entry index, so the arrays need that much slack past any valid
+    entry; the 256-row fronts provide exactly one max-size window of
+    slack, but reduced-tile fronts (small images) provide only
+    (rows+8)*128 — callers with less slack than one window MUST pass
+    their entry_limit so the arrays pad out. (Clamping the window start
+    instead is NOT sound: the expand butterfly's move distances are
+    tau - j, which requires j to count from the tile's true first entry.)
+    """
     payloads = list(payloads)
     b, mc = keys.shape
     assert n_out % p_out == 0
     if out_rows is None:
         out_rows = p_out // _L
     win_rows = -(-(p_out + 2 * _L) // _L) // 8 * 8 + 8
-    if mc < win_rows * _L:
-        # small fronts (reduced-tile byte buffers) can compact to fewer
-        # entries than one placement window: pad to one window so the
-        # fixed-size window DMA stays in bounds (filler keys are past any
-        # valid index, same as the totals mask below)
-        pad = win_rows * _L - mc
+    if entry_limit is not None and mc < entry_limit + win_rows * _L:
+        need = -(-(entry_limit + win_rows * _L) // _L) * _L
+        pad = need - mc
         keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=2**30)
         payloads = [jnp.pad(p, ((0, 0), (0, pad))) for p in payloads]
-        mc = win_rows * _L
+        mc = need
     nbits = max((p_out - 1).bit_length(), 1)
     t_out = n_out // p_out
     idx = jnp.arange(mc, dtype=jnp.int32)

@@ -38,6 +38,27 @@ luma3 = ((100 + g) % 256).astype(np.uint8).ravel()
 mono = (np.cumsum(rng.integers(-3, 4, n)) % 256).astype(np.uint8)
 mono2 = rng.integers(0, 256, n * 2, dtype=np.uint8)
 
+# regression: small front + MULTI-TILE placement (n_max >> m). The
+# reduced-tile fronts provide less entry slack than one max-size
+# placement window, and clamping the window start instead of padding
+# broke the expand butterfly's tau - j >= 0 invariant: output tile 0
+# decoded right, tiles 1+ emitted garbage (found at icon_512 scale on
+# real TPU; pallas_engine.place_emit entry_limit).
+vpal = rng.integers(0, 6, (64, 4), dtype=np.uint8) * 40
+bigrun = np.repeat(vpal, 1024, axis=0).ravel()  # 64k px, tiny stream
+s = native.encode(bigrun, 256, 256, 4, 0, 0)
+assert len(s) <= 4096
+exp, _ = native.decode(s, 0)
+buf = np.zeros((1, 4096), np.uint8)
+buf[0, : len(s)] = np.frombuffer(s, np.uint8)
+out, _ = decode_v2.decode_stream_batched(
+    jnp.asarray(buf), jnp.asarray([len(s) - spec.PADDING_SIZE], jnp.int32),
+    jnp.asarray([256 * 256], jnp.int32),
+    colch=3, compat=False, out_ch=4, n_max=65536, emit="u8",
+    src_alpha=True)
+got = np.asarray(out).reshape(-1)[: 256 * 256 * 4]
+assert np.array_equal(got, exp), "multi-tile placement from small front"
+
 if LEVEL == "quick":
     contents = [("run4", 4, 4, run4), ("mono", 1, 1, mono)]
     combos = [(4096, 4096), (4096, 8192), (8192, 8192)]
