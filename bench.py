@@ -774,10 +774,10 @@ def main():
             if not budget.ok(30):
                 _note("budget: truncating per-category timings")
                 break
-            plans = by_cat[cat]
-            f = fuse_decode(plans)
-            tc = timed(f, [a for _, _, a, _ in plans], n=max(2, runs - 2))
-            cat_dec[cat] = sum(p[3] for p in plans) / tc / 1e6
+            cplans = by_cat[cat]
+            f = fuse_decode(cplans)
+            tc = timed(f, [a for _, _, a, _ in cplans], n=max(2, runs - 2))
+            cat_dec[cat] = sum(p[3] for p in cplans) / tc / 1e6
             plans_e = by_cat_e.get(cat, [])
             if plans_e:
                 f = fuse_encode(plans_e)
