@@ -1097,23 +1097,31 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         if grp["colch"] != 3:
             continue
         idxs = grp["idxs"]
-        b = len(idxs)
-        cap = spec.cap_bucket(
-            max(len(qoi_streams[i]) for i in idxs) * 5 // 4)
-        exp = np.zeros((b, int(cap)), np.uint8)
-        elen = np.zeros(b, np.int32)
-        for j, i in enumerate(idxs):
-            payload = qoi_streams[i][spec.HEADER_SIZE:]
-            exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-            elen[j] = len(payload)
-        efn = functools.partial(
-            encode_v2.encode_stream_batched,
-            colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
-            out_cap=int(cap))
-        qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
-        del exp
-        eargs = (grp["packed"], grp["nval"])
-        qe_plans.append((efn, eargs, len(idxs)))
+        n_pad = int(grp["packed"].shape[1])
+        # sub-batch rows: the compat encode path (slot last-writer hash
+        # resolution + XLA spread) holds several per-position arrays, so
+        # rows per launch are capped by pixel count — same bound the
+        # pre-coarse staging used
+        b_cap = max(1, (24 << 20) // n_pad)
+        for c0 in range(0, len(idxs), b_cap):
+            sub = idxs[c0 : c0 + b_cap]
+            b = len(sub)
+            cap = spec.cap_bucket(
+                max(len(qoi_streams[i]) for i in sub) * 5 // 4)
+            exp = np.zeros((b, int(cap)), np.uint8)
+            elen = np.zeros(b, np.int32)
+            for j, i in enumerate(sub):
+                payload = qoi_streams[i][spec.HEADER_SIZE:]
+                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+                elen[j] = len(payload)
+            efn = functools.partial(
+                encode_v2.encode_stream_batched,
+                colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
+                out_cap=int(cap))
+            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+            del exp
+            eargs = (grp["packed"][c0 : c0 + b], grp["nval"][c0 : c0 + b])
+            qe_plans.append((efn, eargs, b))
 
     @jax.jit
     def _qe_parity_all(all_args, oracles):
