@@ -465,20 +465,24 @@ def main():
         buckets[(cat, desc.col_channels, desc.has_alpha, desc.norm_channels,
                  m_pad, n_pad)].append(i)
 
-    inner = int(os.environ.get("SEQOIA_BENCH_INNER", "4"))
+    inner_max = int(os.environ.get("SEQOIA_BENCH_INNER", "4"))
 
     def timed(fn, args, n=runs):
         """Best-of-n wall time of a jitted fn.
 
-        Each sample enqueues ``inner`` dispatches and fences once with a
-        scalar fetch, dividing by ``inner`` — the analogue of the
-        reference harness timing a loop between clock reads
-        (sqoabench.c:394-406). On this box a single scalar fetch costs
-        ~24 ms of tunnel round-trip (measured, NOTES_ROUND3), which at
-        ~350 ms/run would otherwise tax the kernel numbers ~7%; JAX
+        Each sample enqueues up to ``SEQOIA_BENCH_INNER`` dispatches and
+        fences once with a scalar fetch, dividing by the count — the
+        analogue of the reference harness timing a loop between clock
+        reads (sqoabench.c:394-406). On this box a single scalar fetch
+        costs ~24 ms of tunnel round-trip (measured, NOTES_ROUND3), which
+        at ~350 ms/run would otherwise tax the kernel numbers ~7%; JAX
         dispatch is asynchronous, so the queued runs execute back to back
-        on the device either way."""
+        on the device either way. Runs long enough to amortize the fetch
+        on their own (>= 2 s, e.g. the fixpoint leg) keep one dispatch
+        per sample so slow sections don't multiply their wall time."""
+        t0 = time.perf_counter()
         float(fn(args))
+        inner = 1 if time.perf_counter() - t0 >= 2.0 else inner_max
         best = 1e9
         for _ in range(n):
             t0 = time.perf_counter()
@@ -860,7 +864,7 @@ def main():
     gc.collect()
 
     # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
-    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(240):
+    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(150):
         try:
             _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
                          runs, enc_groups)
@@ -961,6 +965,7 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         hs_px += corpus[i][1] * corpus[i][2]
         if hs_px >= sample_mpx:
             break
+    _note("qoi host decode leg")
     qdec = pbatch.BatchDecoder()
     hstreams = [q for _, q in hs_items]
     qres = qdec(hstreams)  # warm + parity sentinel
@@ -972,20 +977,23 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
 
     # probe-dispatched auto mode over the same sample: shallow streams ride
     # the TPU fixpoint, deep ones the host pool, concurrently
-    saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
-    os.environ["SEQOIA_COMPAT_TPU"] = "auto"
-    try:
-        qres = qdec(hstreams)  # warm (fixpoint compiles for these buckets)
-        q_auto_ok = sum(r.pixels is not None for r in qres)
-        del qres
-        t0 = time.perf_counter()
-        qdec(hstreams)
-        q_auto_t = time.perf_counter() - t0
-    finally:
-        if saved_mode is None:
-            os.environ.pop("SEQOIA_COMPAT_TPU", None)
-        else:
-            os.environ["SEQOIA_COMPAT_TPU"] = saved_mode
+    q_auto_t = q_auto_ok = None
+    if budget.ok(180):
+        _note("qoi auto-dispatch leg")
+        saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
+        os.environ["SEQOIA_COMPAT_TPU"] = "auto"
+        try:
+            qres = qdec(hstreams)  # warm (fixpoint compiles, these buckets)
+            q_auto_ok = sum(r.pixels is not None for r in qres)
+            del qres
+            t0 = time.perf_counter()
+            qdec(hstreams)
+            q_auto_t = time.perf_counter() - t0
+        finally:
+            if saved_mode is None:
+                os.environ.pop("SEQOIA_COMPAT_TPU", None)
+            else:
+                os.environ["SEQOIA_COMPAT_TPU"] = saved_mode
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1012,6 +1020,9 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     # Apple M1 core (bench10.txt:122), not this machine
     ref_onbox = {}
     try:
+        if not budget.ok(90):
+            raise TimeoutError("budget")
+        _note("qoi on-box reference leg")
         import ctypes as _ct
         import subprocess as _sp
 
@@ -1047,12 +1058,21 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     # sub-batch so the fixpoint's ~20x-stream working set stays well
     # inside HBM (rows per launch capped by stream bytes). Convergence
     # bools come back from the fused warmup — no per-bucket dispatches.
+    run_fp = budget.ok(420)
+    fp_mpxs = None
+    fp_conv = 0
+    probe_hits = None
+    tfp = None
+    if run_fp:
+        _note("qoi fixpoint leg")
     fp_buckets = defaultdict(list)
     for i, q in q_items:
         fp_buckets[(_bucket(len(q)), _bucket(corpus[i][1] * corpus[i][2]))
                    ].append(i)
     fp_plans = []
-    for (m_pad, n_max), all_idxs in fp_buckets.items():
+    for (m_pad, n_max), all_idxs in (
+        fp_buckets.items() if run_fp else []
+    ):
         b_cap = max(1, (24 << 20) // m_pad)
         for c0 in range(0, len(all_idxs), b_cap):
             idxs = all_idxs[c0 : c0 + b_cap]
@@ -1080,17 +1100,18 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             convs.append(conv & (jnp.sum(out[:, ::8191]) < jnp.inf))
         return jnp.concatenate(convs)
 
-    conv_all = np.asarray(jax.device_get(
-        _fp_conv_all([a for _, a, _ in fp_plans])))
-    fp_conv = 0
-    probe_hits = 0
-    off = 0
-    for _, fa, idxs in fp_plans:
-        for k, i in enumerate(idxs):
-            conv = bool(conv_all[off + k])
-            fp_conv += conv
-            probe_hits += (depths[i] < fp_cap) == conv
-        off += fa[0].shape[0]
+    if run_fp:
+        conv_all = np.asarray(jax.device_get(
+            _fp_conv_all([a for _, a, _ in fp_plans])))
+        fp_conv = 0
+        probe_hits = 0
+        off = 0
+        for _, fa, idxs in fp_plans:
+            for k, i in enumerate(idxs):
+                conv = bool(conv_all[off + k])
+                fp_conv += conv
+                probe_hits += (depths[i] < fp_cap) == conv
+            off += fa[0].shape[0]
 
     @jax.jit
     def _fp_all(all_args):
@@ -1100,11 +1121,12 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
         return acc
 
-    tfp = timed(_fp_all, [a for _, a, _ in fp_plans])
-    fp_mpxs = q_px / tfp / 1e6
-    # production-honest hybrid: unconverged rows re-decode on the host
-    # pool, so their pixels are charged at the measured host rate
-    unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
+    if run_fp:
+        tfp = timed(_fp_all, [a for _, a, _ in fp_plans])
+        fp_mpxs = q_px / tfp / 1e6
+        # production-honest hybrid: unconverged rows re-decode on the
+        # host pool; their pixels are charged at the measured host rate
+        unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
 
     # TPU compat encode (slot last-writer hash resolution): reuses the
     # unified staging's device-packed pixels (nothing re-uploads except
@@ -1113,9 +1135,14 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     # byte equality)
     del fp_plans
     gc.collect()
+    run_qe = budget.ok(300)
+    qe_mpxs = None
+    qe_parity = 0
+    if run_qe:
+        _note("qoi tpu-encode leg")
     qe_plans = []
     qe_oracle = []
-    for grp in enc_groups:
+    for grp in (enc_groups if run_qe else []):
         if grp["colch"] != 3:
             continue
         idxs = grp["idxs"]
@@ -1157,14 +1184,15 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             )
         return jnp.concatenate(oks)
 
-    qp_all = np.asarray(jax.device_get(
-        _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
-    del qe_oracle
-    qe_parity = 0
-    off = 0
-    for _, ea, nlive in qe_plans:
-        qe_parity += int(qp_all[off : off + nlive].sum())
-        off += ea[0].shape[0]
+    if run_qe:
+        qp_all = np.asarray(jax.device_get(
+            _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
+        del qe_oracle
+        qe_parity = 0
+        off = 0
+        for _, ea, nlive in qe_plans:
+            qe_parity += int(qp_all[off : off + nlive].sum())
+            off += ea[0].shape[0]
 
     @jax.jit
     def _qe_all(all_args):
@@ -1174,40 +1202,48 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
         return acc
 
-    tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
-    qe_mpxs = q_px / tqe / 1e6
+    if run_qe:
+        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
+        qe_mpxs = q_px / tqe / 1e6
 
     host_dec = hs_px / q_dec_t / 1e6
     host_enc = hs_px / q_enc_t / 1e6
-    auto_dec = hs_px / q_auto_t / 1e6
-    hybrid_dec = q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6
+    auto_dec = hs_px / q_auto_t / 1e6 if q_auto_t else 0.0
+    hybrid_dec = (
+        q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6 if run_fp else 0.0
+    )
     best_dec = max(host_dec, hybrid_dec, auto_dec)
-    best_enc = max(host_enc, qe_mpxs)
+    best_enc = max(host_enc, qe_mpxs or 0.0)
     qoi = {
         "qoi_decode_mpxs": round(best_dec, 1),
         "qoi_encode_mpxs": round(best_enc, 1),
         "qoi_decode_dispatch": (
-            "auto" if best_dec == auto_dec else
+            "auto" if auto_dec and best_dec == auto_dec else
             "tpu+fallback" if hybrid_dec > host_dec else "host"),
-        "qoi_encode_dispatch": "tpu" if qe_mpxs > host_enc else "host",
+        "qoi_encode_dispatch": (
+            "tpu" if qe_mpxs and qe_mpxs > host_enc else "host"),
         "qoi_decode_vs_ref": round(best_dec / BASELINE_QOI_DECODE_MPXS, 2),
         "qoi_encode_vs_ref": round(best_enc / BASELINE_QOI_ENCODE_MPXS, 2),
         "qoi_host_decode_mpxs": round(host_dec, 1),
         "qoi_host_encode_mpxs": round(host_enc, 1),
-        "qoi_tpu_decode_mpxs": round(fp_mpxs, 1),
-        "qoi_tpu_encode_mpxs": round(qe_mpxs, 1),
-        "qoi_tpu_converged_pct": round(100.0 * fp_conv / len(q_items), 1),
-        "qoi_tpu_encode_parity_n": qe_parity,
         "qoi_host_parity_n": q_dec_ok,
         "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
-        "qoi_auto_decode_mpxs": round(auto_dec, 1),
-        "qoi_auto_parity_n": q_auto_ok,
         "qoi_probe_mpxs": round(q_px / t_probe / 1e6, 1),
         "qoi_probe_shallow_px_pct": round(100.0 * shallow_px / q_px, 1),
-        "qoi_probe_accuracy_pct": round(
-            100.0 * probe_hits / len(q_items), 1),
         **ref_onbox,
     }
+    if run_fp:
+        qoi["qoi_tpu_decode_mpxs"] = round(fp_mpxs, 1)
+        qoi["qoi_tpu_converged_pct"] = round(
+            100.0 * fp_conv / len(q_items), 1)
+        qoi["qoi_probe_accuracy_pct"] = round(
+            100.0 * probe_hits / len(q_items), 1)
+    if run_qe:
+        qoi["qoi_tpu_encode_mpxs"] = round(qe_mpxs, 1)
+        qoi["qoi_tpu_encode_parity_n"] = qe_parity
+    if q_auto_t:
+        qoi["qoi_auto_decode_mpxs"] = round(auto_dec, 1)
+        qoi["qoi_auto_parity_n"] = q_auto_ok
     if "qoi_ref_onbox_decode_mpxs" in ref_onbox:
         qoi["qoi_decode_vs_ref_onbox"] = round(
             best_dec / ref_onbox["qoi_ref_onbox_decode_mpxs"], 2)
@@ -1311,6 +1347,14 @@ def _api_section(em, budget, corpus, streams):
     from seqoia_tpu.parallel import batch as pbatch
 
     _note("API path section")
+    # budget-adaptive sample: the e2e path is tunnel-transfer-bound on
+    # this box (~13-37 MB/s D2H), so a slice of the corpus demonstrates
+    # the same pipeline behavior in a fraction of the wall time
+    if not budget.ok(420):
+        step = 3
+        corpus = corpus[::step]
+        streams = streams[::step]
+        _note(f"API sample: {len(corpus)} images")
     total_px = sum(w * h for _, w, h, _, _ in corpus)
     descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
     imgs = [p for p, *_ in corpus]
@@ -1331,6 +1375,7 @@ def _api_section(em, budget, corpus, streams):
     em.update(
         api_decode_mpxs=round(total_px / api_dec_t / 1e6, 1),
         api_encode_mpxs=round(total_px / api_enc_t / 1e6, 1),
+        api_sample_mpx=round(total_px / 1e6, 1),
     )
     for k, v in dec_split.items():
         em.update(**{f"api_decode_{k}_s": round(v, 3)})
