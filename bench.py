@@ -480,8 +480,9 @@ def main():
         on the device either way. Runs long enough to amortize the fetch
         on their own (>= 2 s, e.g. the fixpoint leg) keep one dispatch
         per sample so slow sections don't multiply their wall time."""
+        float(fn(args))  # warmup: compile / cache load
         t0 = time.perf_counter()
-        float(fn(args))
+        float(fn(args))  # steady-state probe picks the inner count
         inner = 1 if time.perf_counter() - t0 >= 2.0 else inner_max
         best = 1e9
         for _ in range(n):
@@ -863,6 +864,18 @@ def main():
 
     gc.collect()
 
+    # --- large single image (100 Mpx, BASELINE config 5) --------------------
+    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(180):
+        try:
+            _large_section(em, budget)
+        except Exception as e:
+            _note(f"large section failed: {e!r}")
+            em.update(large_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("large")
+    gc.collect()
+
     # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
     if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(150):
         try:
@@ -875,18 +888,6 @@ def main():
     else:
         em.skipped.append("qoi")
     del plans, enc_groups  # release the staging (streams + packed pixels)
-    gc.collect()
-
-    # --- large single image (100 Mpx, BASELINE config 5) --------------------
-    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(180):
-        try:
-            _large_section(em, budget)
-        except Exception as e:
-            _note(f"large section failed: {e!r}")
-            em.update(large_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("large")
     gc.collect()
 
     # --- public API path (corpus_decode / corpus_encode, end to end) --------
@@ -975,26 +976,6 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     qdec(hstreams)
     q_dec_t = time.perf_counter() - t0
 
-    # probe-dispatched auto mode over the same sample: shallow streams ride
-    # the TPU fixpoint, deep ones the host pool, concurrently
-    q_auto_t = q_auto_ok = None
-    if budget.ok(180):
-        _note("qoi auto-dispatch leg")
-        saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
-        os.environ["SEQOIA_COMPAT_TPU"] = "auto"
-        try:
-            qres = qdec(hstreams)  # warm (fixpoint compiles, these buckets)
-            q_auto_ok = sum(r.pixels is not None for r in qres)
-            del qres
-            t0 = time.perf_counter()
-            qdec(hstreams)
-            q_auto_t = time.perf_counter() - t0
-        finally:
-            if saved_mode is None:
-                os.environ.pop("SEQOIA_COMPAT_TPU", None)
-            else:
-                os.environ["SEQOIA_COMPAT_TPU"] = saved_mode
-
     from concurrent.futures import ThreadPoolExecutor
 
     def qenc(arg):
@@ -1013,6 +994,82 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             t0 = time.perf_counter()
             list(ex.map(qenc, hs_items))
             q_enc_t = time.perf_counter() - t0
+
+    # TPU compat encode (slot last-writer hash resolution): reuses the
+    # unified staging's device-packed pixels (nothing re-uploads except
+    # the expected .qoi payloads for parity), one compat encode per color
+    # bucket; parity on device in the fused warmup (exact totals + masked
+    # byte equality)
+    run_qe = budget.ok(300)
+    qe_mpxs = None
+    qe_parity = 0
+    if run_qe:
+        _note("qoi tpu-encode leg")
+    qe_plans = []
+    qe_oracle = []
+    for grp in (enc_groups if run_qe else []):
+        if grp["colch"] != 3:
+            continue
+        idxs = grp["idxs"]
+        n_pad = int(grp["packed"].shape[1])
+        # sub-batch rows: the compat encode path (slot last-writer hash
+        # resolution + XLA spread) holds several per-position arrays, so
+        # rows per launch are capped by pixel count — same bound the
+        # pre-coarse staging used
+        b_cap = max(1, (24 << 20) // n_pad)
+        for c0 in range(0, len(idxs), b_cap):
+            sub = idxs[c0 : c0 + b_cap]
+            b = len(sub)
+            cap = spec.cap_bucket(
+                max(len(qoi_streams[i]) for i in sub) * 5 // 4)
+            exp = np.zeros((b, int(cap)), np.uint8)
+            elen = np.zeros(b, np.int32)
+            for j, i in enumerate(sub):
+                payload = qoi_streams[i][spec.HEADER_SIZE:]
+                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+                elen[j] = len(payload)
+            efn = functools.partial(
+                encode_v2.encode_stream_batched,
+                colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
+                out_cap=int(cap))
+            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+            del exp
+            eargs = (grp["packed"][c0 : c0 + b], grp["nval"][c0 : c0 + b])
+            qe_plans.append((efn, eargs, b))
+
+    @jax.jit
+    def _qe_parity_all(all_args, oracles):
+        oks = []
+        for (efn, _, _), a, (exp, elen) in zip(qe_plans, all_args, oracles):
+            out, totals = efn(*a)
+            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
+                elen[:, None])
+            oks.append(
+                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+            )
+        return jnp.concatenate(oks)
+
+    if run_qe:
+        qp_all = np.asarray(jax.device_get(
+            _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
+        del qe_oracle
+        qe_parity = 0
+        off = 0
+        for _, ea, nlive in qe_plans:
+            qe_parity += int(qp_all[off : off + nlive].sum())
+            off += ea[0].shape[0]
+
+    @jax.jit
+    def _qe_all(all_args):
+        acc = jnp.float32(0)
+        for (efn, _, _), a in zip(qe_plans, all_args):
+            out, _ = efn(*a)
+            acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
+        return acc
+
+    if run_qe:
+        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
+        qe_mpxs = q_px / tqe / 1e6
 
     # on-box reference speeds: the genuine reference header, compiled
     # from its read-only mount and timed on this host's core, is the
@@ -1128,261 +1185,26 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         # host pool; their pixels are charged at the measured host rate
         unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
 
-    # TPU compat encode (slot last-writer hash resolution): reuses the
-    # unified staging's device-packed pixels (nothing re-uploads except
-    # the expected .qoi payloads for parity), one compat encode per color
-    # bucket; parity on device in the fused warmup (exact totals + masked
-    # byte equality)
     del fp_plans
     gc.collect()
-    run_qe = budget.ok(300)
-    qe_mpxs = None
-    qe_parity = 0
-    if run_qe:
-        _note("qoi tpu-encode leg")
-    qe_plans = []
-    qe_oracle = []
-    for grp in (enc_groups if run_qe else []):
-        if grp["colch"] != 3:
-            continue
-        idxs = grp["idxs"]
-        n_pad = int(grp["packed"].shape[1])
-        # sub-batch rows: the compat encode path (slot last-writer hash
-        # resolution + XLA spread) holds several per-position arrays, so
-        # rows per launch are capped by pixel count — same bound the
-        # pre-coarse staging used
-        b_cap = max(1, (24 << 20) // n_pad)
-        for c0 in range(0, len(idxs), b_cap):
-            sub = idxs[c0 : c0 + b_cap]
-            b = len(sub)
-            cap = spec.cap_bucket(
-                max(len(qoi_streams[i]) for i in sub) * 5 // 4)
-            exp = np.zeros((b, int(cap)), np.uint8)
-            elen = np.zeros(b, np.int32)
-            for j, i in enumerate(sub):
-                payload = qoi_streams[i][spec.HEADER_SIZE:]
-                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-                elen[j] = len(payload)
-            efn = functools.partial(
-                encode_v2.encode_stream_batched,
-                colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
-                out_cap=int(cap))
-            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
-            del exp
-            eargs = (grp["packed"][c0 : c0 + b], grp["nval"][c0 : c0 + b])
-            qe_plans.append((efn, eargs, b))
 
-    @jax.jit
-    def _qe_parity_all(all_args, oracles):
-        oks = []
-        for (efn, _, _), a, (exp, elen) in zip(qe_plans, all_args, oracles):
-            out, totals = efn(*a)
-            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
-                elen[:, None])
-            oks.append(
-                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
-            )
-        return jnp.concatenate(oks)
-
-    if run_qe:
-        qp_all = np.asarray(jax.device_get(
-            _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
-        del qe_oracle
-        qe_parity = 0
-        off = 0
-        for _, ea, nlive in qe_plans:
-            qe_parity += int(qp_all[off : off + nlive].sum())
-            off += ea[0].shape[0]
-
-    @jax.jit
-    def _qe_all(all_args):
-        acc = jnp.float32(0)
-        for (efn, _, _), a in zip(qe_plans, all_args):
-            out, _ = efn(*a)
-            acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
-        return acc
-
-    if run_qe:
-        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
-        qe_mpxs = q_px / tqe / 1e6
-
-    host_dec = hs_px / q_dec_t / 1e6
-    host_enc = hs_px / q_enc_t / 1e6
-    auto_dec = hs_px / q_auto_t / 1e6 if q_auto_t else 0.0
-    hybrid_dec = (
-        q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6 if run_fp else 0.0
-    )
-    best_dec = max(host_dec, hybrid_dec, auto_dec)
-    best_enc = max(host_enc, qe_mpxs or 0.0)
-    qoi = {
-        "qoi_decode_mpxs": round(best_dec, 1),
-        "qoi_encode_mpxs": round(best_enc, 1),
-        "qoi_decode_dispatch": (
-            "auto" if auto_dec and best_dec == auto_dec else
-            "tpu+fallback" if hybrid_dec > host_dec else "host"),
-        "qoi_encode_dispatch": (
-            "tpu" if qe_mpxs and qe_mpxs > host_enc else "host"),
-        "qoi_decode_vs_ref": round(best_dec / BASELINE_QOI_DECODE_MPXS, 2),
-        "qoi_encode_vs_ref": round(best_enc / BASELINE_QOI_ENCODE_MPXS, 2),
-        "qoi_host_decode_mpxs": round(host_dec, 1),
-        "qoi_host_encode_mpxs": round(host_enc, 1),
-        "qoi_host_parity_n": q_dec_ok,
-        "qoi_host_sample_mpx": round(hs_px / 1e6, 1),
-        "qoi_probe_mpxs": round(q_px / t_probe / 1e6, 1),
-        "qoi_probe_shallow_px_pct": round(100.0 * shallow_px / q_px, 1),
-        **ref_onbox,
-    }
-    if run_fp:
-        qoi["qoi_tpu_decode_mpxs"] = round(fp_mpxs, 1)
-        qoi["qoi_tpu_converged_pct"] = round(
-            100.0 * fp_conv / len(q_items), 1)
-        qoi["qoi_probe_accuracy_pct"] = round(
-            100.0 * probe_hits / len(q_items), 1)
-    if run_qe:
-        qoi["qoi_tpu_encode_mpxs"] = round(qe_mpxs, 1)
-        qoi["qoi_tpu_encode_parity_n"] = qe_parity
-    if q_auto_t:
-        qoi["qoi_auto_decode_mpxs"] = round(auto_dec, 1)
-        qoi["qoi_auto_parity_n"] = q_auto_ok
-    if "qoi_ref_onbox_decode_mpxs" in ref_onbox:
-        qoi["qoi_decode_vs_ref_onbox"] = round(
-            best_dec / ref_onbox["qoi_ref_onbox_decode_mpxs"], 2)
-    em.update(**qoi)
-
-
-def _large_section(em, budget):
-    """100 Mpx single image: device-resident compute + end-to-end."""
-    import jax
-    import jax.numpy as jnp
-
-    import seqoia_tpu as sq
-    from seqoia_tpu import spec
-    from seqoia_tpu.codec import decode_v2, encode_v2
-    from seqoia_tpu.ops import pallas_pack
-    from seqoia_tpu.parallel import tiled
-
-    _note("large-image section")
-    lw = lh = 10000
-    lpix, loracle = _large_assets(lw, lh)
-    ldesc = sq.SqoaDesc(lw, lh, 3, 0, 0)
-
-    inner = int(os.environ.get("SEQOIA_BENCH_INNER", "4"))
-
-    def timed3(fn, args):
-        # inner-loop amortization of the tunnel round trip (see main's timed)
-        float(fn(args))
-        best = 1e9
-        for _ in range(3):
+    # probe-dispatched auto mode over the same sample: shallow streams ride
+    # the TPU fixpoint, deep ones the host pool, concurrently
+    q_auto_t = q_auto_ok = None
+    if budget.ok(180):
+        _note("qoi auto-dispatch leg")
+        saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
+        os.environ["SEQOIA_COMPAT_TPU"] = "auto"
+        try:
+            qres = qdec(hstreams)  # warm (fixpoint compiles, these buckets)
+            q_auto_ok = sum(r.pixels is not None for r in qres)
+            del qres
             t0 = time.perf_counter()
-            for _ in range(inner - 1):
-                fn(args)
-            float(fn(args))
-            best = min(best, (time.perf_counter() - t0) / inner)
-        return best
+            qdec(hstreams)
+            q_auto_t = time.perf_counter() - t0
+        finally:
+            if saved_mode is None:
+                os.environ.pop("SEQOIA_COMPAT_TPU", None)
+            else:
+                os.environ["SEQOIA_COMPAT_TPU"] = saved_mode
 
-    # device-resident encode compute: pre-staged packed pixels, exact
-    # cap (the steady-state adaptive cap), scalar-fenced
-    packed = pallas_pack.normalize_pixels_device(lpix, ldesc)
-    packed.block_until_ready()
-    n = lw * lh
-    cap = spec.cap_bucket(len(loracle) * 9 // 8)
-    efn = jax.jit(functools.partial(
-        encode_v2.encode_stream_flat, colch=3, has_alpha=False,
-        out_cap=int(cap)))
-
-    def enc_run(p):
-        out, tot = efn(p, jnp.int32(n))
-        return jnp.sum(out[::65537].astype(jnp.float32)) + tot
-
-    t_ec = timed3(jax.jit(enc_run), packed)
-
-    # end-to-end encode (host bytes in, file bytes out)
-    stream = tiled.encode_large(lpix, ldesc)  # warm compiles
-    t0 = time.perf_counter()
-    stream = tiled.encode_large(lpix, ldesc)
-    t_ee = time.perf_counter() - t0
-
-    # device-resident decode compute
-    m_pad = _bucket(len(loracle))
-    n_max = _bucket(n)
-    buf = np.zeros((1, m_pad), np.uint8)
-    buf[0, : len(loracle)] = np.frombuffer(loracle, np.uint8)
-    darr = jax.device_put(jnp.asarray(buf))
-    dfn = jax.jit(functools.partial(
-        decode_v2.decode_stream_batched, colch=3, compat=False,
-        out_ch=3, n_max=int(n_max), emit="words", src_alpha=False))
-
-    def dec_run(d):
-        out, _ = dfn(d, jnp.full((1,), len(loracle) - spec.PADDING_SIZE,
-                                 jnp.int32),
-                     jnp.full((1,), n, jnp.int32))
-        return jnp.sum(out[:, ::4097].astype(jnp.float32))
-
-    t_dc = timed3(jax.jit(dec_run), darr)
-    del darr
-
-    # end-to-end decode
-    lback, _ = tiled.decode_large(loracle, 0)  # warm
-    t0 = time.perf_counter()
-    lback, _ = tiled.decode_large(loracle, 0)
-    t_de = time.perf_counter() - t0
-
-    em.update(
-        large_mpx=round(n / 1e6, 1),
-        large_rate_pct=round(100.0 * len(loracle) / (n * 3), 1),
-        large_encode_compute_mpxs=round(n / t_ec / 1e6, 1),
-        large_decode_compute_mpxs=round(n / t_dc / 1e6, 1),
-        large_encode_mpxs=round(n / t_ee / 1e6, 1),
-        large_decode_mpxs=round(n / t_de / 1e6, 1),
-        large_parity=bool(
-            stream == loracle and np.array_equal(lback, lpix)
-        ),
-    )
-
-
-def _api_section(em, budget, corpus, streams):
-    """Public batched API end to end, with the staging/compute/fetch
-    split from the pipelined BatchDecoder/BatchEncoder."""
-    import seqoia_tpu as sq
-    from seqoia_tpu.parallel import batch as pbatch
-
-    _note("API path section")
-    # budget-adaptive sample: the e2e path is tunnel-transfer-bound on
-    # this box (~13-37 MB/s D2H), so a slice of the corpus demonstrates
-    # the same pipeline behavior in a fraction of the wall time
-    if not budget.ok(420):
-        step = 3
-        corpus = corpus[::step]
-        streams = streams[::step]
-        _note(f"API sample: {len(corpus)} images")
-    total_px = sum(w * h for _, w, h, _, _ in corpus)
-    descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
-    imgs = [p for p, *_ in corpus]
-    dec = pbatch.BatchDecoder()
-    enc = pbatch.BatchEncoder()
-    dec(streams)  # warm: compiles + cap estimates
-    enc(imgs, descs)
-    t0 = time.perf_counter()
-    res = dec(streams)
-    api_dec_t = time.perf_counter() - t0
-    assert all(r.pixels is not None for r in res)
-    dec_split = dict(getattr(dec, "last_timings", {}) or {})
-    t0 = time.perf_counter()
-    res_e = enc(imgs, descs)
-    api_enc_t = time.perf_counter() - t0
-    assert all(r is not None for r in res_e)
-    enc_split = dict(getattr(enc, "last_timings", {}) or {})
-    em.update(
-        api_decode_mpxs=round(total_px / api_dec_t / 1e6, 1),
-        api_encode_mpxs=round(total_px / api_enc_t / 1e6, 1),
-        api_sample_mpx=round(total_px / 1e6, 1),
-    )
-    for k, v in dec_split.items():
-        em.update(**{f"api_decode_{k}_s": round(v, 3)})
-    for k, v in enc_split.items():
-        em.update(**{f"api_encode_{k}_s": round(v, 3)})
-    del res, res_e
-
-
-if __name__ == "__main__":
-    main()
