@@ -480,8 +480,9 @@ def main():
         on the device either way. Runs long enough to amortize the fetch
         on their own (>= 2 s, e.g. the fixpoint leg) keep one dispatch
         per sample so slow sections don't multiply their wall time."""
+        float(fn(args))  # warmup: compile / cache load
         t0 = time.perf_counter()
-        float(fn(args))
+        float(fn(args))  # steady-state probe picks the inner count
         inner = 1 if time.perf_counter() - t0 >= 2.0 else inner_max
         best = 1e9
         for _ in range(n):
