@@ -1191,7 +1191,10 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     # probe-dispatched auto mode over the same sample: shallow streams ride
     # the TPU fixpoint, deep ones the host pool, concurrently
     q_auto_t = q_auto_ok = None
-    if budget.ok(180):
+    # the auto leg is demonstrational on this box (decoded pixels must
+    # cross the tunnel, which plain host dispatch never pays): it yields
+    # to the API section under a tight budget
+    if budget.ok(480):
         _note("qoi auto-dispatch leg")
         saved_mode = os.environ.get("SEQOIA_COMPAT_TPU")
         os.environ["SEQOIA_COMPAT_TPU"] = "auto"
