@@ -31,6 +31,21 @@ def _next_pow2(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
+def _is_oom(e: Exception) -> bool:
+    """Device out-of-memory? JAX surfaces TPU allocator failures as
+    XlaRuntimeError('RESOURCE_EXHAUSTED: ...') — at dispatch time for
+    sync failures, or at the first fetch of a poisoned async result."""
+    return "RESOURCE_EXHAUSTED" in str(e)
+
+
+#: default bound on device bytes held by dispatched-but-unfetched work
+#: (inputs + outputs); beyond it the oldest pending bucket drains before
+#: more dispatch. Pipelining stays (the drained bucket's compute is long
+#: done), HBM stays bounded — the reference's one-call encode/decode never
+#: fails on memory for a corpus that fits the host (seqoia.h:456,652).
+_MAX_OUTSTANDING = 6 << 30
+
+
 # ---------------------------------------------------------------------------
 # Batched decode
 # ---------------------------------------------------------------------------
@@ -114,9 +129,14 @@ class BatchDecoder:
     split of the most recent call for the bench's API leg.
     """
 
-    def __init__(self, mesh=None):
+    def __init__(self, mesh=None, max_outstanding_bytes: int | None = None):
         self.mesh = mesh if mesh is not None else default_mesh()
         self.last_timings: dict = {}
+        self.last_stats: dict = {}
+        self.max_outstanding_bytes = (
+            _MAX_OUTSTANDING if max_outstanding_bytes is None
+            else int(max_outstanding_bytes)
+        )
 
     def __call__(self, streams, channels: int = 0):
         import time as _time
@@ -161,13 +181,37 @@ class BatchDecoder:
         from ..utils import transfer
 
         host_items: list = []
-        pending = []  # (items, out, need_fb, out_ch)
+        pending = []  # (items, key, out, need_fb, in_bytes)
         fallback: list = []
         t_fetch_early = 0.0
+        stats = {"early_drains": 0, "oom_redispatch": 0}
 
-        def drain_one():
-            """Fetch the oldest pending bucket into results/fallback."""
-            items, out, need_fb, out_ch = pending.pop(0)
+        def dispatch(items, key):
+            """Stage + dispatch one bucket; returns a pending entry."""
+            colch, compat, out_ch, m_pad, max_ops, n_max, src_alpha = key
+            b = len(items)
+            b_pad = -(-b // n_dev) * n_dev
+            buf = np.zeros((b_pad, m_pad), np.uint8)
+            clens = np.zeros((b_pad,), np.int32)
+            npix = np.zeros((b_pad,), np.int32)
+            for j, (_, data, desc) in enumerate(items):
+                buf[j, : len(data)] = np.frombuffer(data, np.uint8)
+                clens[j] = len(data) - spec.PADDING_SIZE
+                npix[j] = desc.n_pixels
+            args = jax.device_put(
+                (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npix)),
+                (sharding, sharding, sharding),
+            )
+            out, need_fb = _decode_batch_kernel(
+                *args, colch=colch, compat=compat, out_ch=out_ch,
+                n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
+            )
+            return (items, key, out, need_fb, buf.size)
+
+        def finish(entry):
+            """Fetch one bucket's output into results/fallback."""
+            items, key, out, need_fb, _ = entry
+            out_ch = key[2]
             b_pad, cols = out.shape
             out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
                 b_pad, cols
@@ -187,10 +231,47 @@ class BatchDecoder:
                         out[j].reshape(-1)[:n].copy(), desc
                     )
 
-        #: bound on device bytes held by not-yet-fetched outputs: beyond it
-        #: the oldest bucket drains (its compute is long done) before more
-        #: dispatch — pipelining stays, HBM stays bounded
-        max_outstanding = 6 << 30
+        def recover(items, key):
+            """OOM degradation: re-dispatch synchronously (everything else
+            has drained by now), halving the bucket while it still OOMs;
+            a single image that cannot fit routes to the host fallback."""
+            stats["oom_redispatch"] += 1
+            try:
+                finish(dispatch(items, key))
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                if len(items) == 1:
+                    fallback.append((items[0][0], items[0][1]))
+                    return
+                recover(items[: len(items) // 2], key)
+                recover(items[len(items) // 2 :], key)
+
+        def drain_one():
+            entry = pending.pop(0)
+            try:
+                finish(entry)
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                # the whole queue may be poisoned: drop every device ref,
+                # then re-run each bucket synchronously at bounded size
+                failed = [(entry[0], entry[1])]
+                for p in pending:
+                    try:
+                        finish(p)
+                    except Exception as e2:
+                        if not _is_oom(e2):
+                            raise
+                        failed.append((p[0], p[1]))
+                pending.clear()
+                for its, key in failed:
+                    recover(its, key)
+
+        def entry_bytes(entry):
+            return entry[2].size * entry[2].dtype.itemsize + entry[4]
+
+        max_outstanding = self.max_outstanding_bytes
         outstanding = 0
         t0 = _time.perf_counter()
         for (colch, compat, out_ch, m_pad, max_ops, n_max,
@@ -218,30 +299,24 @@ class BatchDecoder:
                     # hybrid dispatch: .qoi -> host pool (see _compat_mode)
                     host_items.extend(items)
                     continue
-            b = len(items)
-            b_pad = -(-b // n_dev) * n_dev
-            buf = np.zeros((b_pad, m_pad), np.uint8)
-            clens = np.zeros((b_pad,), np.int32)
-            npix = np.zeros((b_pad,), np.int32)
-            for j, (_, data, desc) in enumerate(items):
-                buf[j, : len(data)] = np.frombuffer(data, np.uint8)
-                clens[j] = len(data) - spec.PADDING_SIZE
-                npix[j] = desc.n_pixels
-            args = jax.device_put(
-                (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npix)),
-                (sharding, sharding, sharding),
-            )
-            out, need_fb = _decode_batch_kernel(
-                *args, colch=colch, compat=compat, out_ch=out_ch,
-                n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
-            )
-            pending.append((items, out, need_fb, out_ch))
-            outstanding += out.size * out.dtype.itemsize
+            key = (colch, compat, out_ch, m_pad, max_ops, n_max, src_alpha)
+            try:
+                entry = dispatch(items, key)
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                while pending:  # free the queue, then run degraded
+                    drain_one()
+                outstanding = 0
+                recover(items, key)
+                continue
+            pending.append(entry)
+            outstanding += entry_bytes(entry)
             while outstanding > max_outstanding and len(pending) > 1:
                 tf = _time.perf_counter()
-                o = pending[0][1]
-                outstanding -= o.size * o.dtype.itemsize
+                outstanding -= entry_bytes(pending[0])
                 drain_one()
+                stats["early_drains"] += 1
                 t_fetch_early += _time.perf_counter() - tf
         t_stage = _time.perf_counter() - t0 - t_fetch_early
 
@@ -259,7 +334,11 @@ class BatchDecoder:
         # bucket by bucket while later buckets still compute ----------------
         t0 = _time.perf_counter()
         if pending:
-            float(jnp.sum(pending[0][1][:1, :1].astype(jnp.float32)))
+            try:
+                float(jnp.sum(pending[0][2][:1, :1].astype(jnp.float32)))
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
         t_compute = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -277,6 +356,7 @@ class BatchDecoder:
             "stage": t_stage, "compute": t_compute, "fetch": t_fetch,
             "host": t_host,
         }
+        self.last_stats = stats
         return results
 
     @staticmethod
@@ -336,12 +416,19 @@ class BatchEncoder:
     #: estimate warms up across encoder instances
     _rate_est: dict = {}
 
-    def __init__(self, mesh=None):
+    def __init__(self, mesh=None, max_outstanding_bytes: int | None = None):
         self.mesh = mesh if mesh is not None else default_mesh()
         self.last_timings: dict = {}
+        self.last_stats: dict = {}
+        self.max_outstanding_bytes = (
+            _MAX_OUTSTANDING if max_outstanding_bytes is None
+            else int(max_outstanding_bytes)
+        )
 
     def __call__(self, images, descs):
         import time as _time
+
+        from ..utils import transfer
 
         results: list[bytes | None] = [None] * len(images)
         groups = defaultdict(list)
@@ -361,18 +448,18 @@ class BatchEncoder:
 
         # --- phase 1: route + stage + dispatch every bucket ----------------
         # (async dispatch pipelines buckets; the host share — very large
-        # compat images — runs on a background thread meanwhile)
+        # compat images — runs on a background thread meanwhile). Dispatched
+        # -but-unfetched device bytes are bounded exactly as in BatchDecoder:
+        # past the cap the oldest bucket drains before more dispatch, and a
+        # RESOURCE_EXHAUSTED drains the queue and re-runs the failed bucket
+        # at degraded (halved) size, down to a per-image host fallback.
         host_items: list = []
-        pending = []  # (items, out, totals, rgba, nval, mode-key, cap)
-        t0 = _time.perf_counter()
-        for (colch, has_alpha, compat, n_pad), items in groups.items():
-            if compat and n_pad > 1 << 23:
-                # Very large compat encodes stay on the host pool: the TPU
-                # path (slot last-writer hash resolution, encode_v2.py)
-                # is byte-exact at any tile-aligned size, but beyond ~8 Mpx
-                # per image the host cores win on aggregate throughput.
-                host_items.extend(items)
-                continue
+        pending = []  # (items, key, out, totals, rgba, nval, cap, in_bytes)
+        stats = {"early_drains": 0, "oom_redispatch": 0}
+        t_fetch_early = 0.0
+
+        def dispatch(items, key):
+            colch, has_alpha, compat, n_pad = key
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             norm_ch = colch + has_alpha
@@ -401,30 +488,11 @@ class BatchEncoder:
                 *args, colch=colch, has_alpha=has_alpha, compat=compat,
                 out_cap=int(cap),
             )
-            pending.append((items, out, totals, rgba, nval,
-                            (colch, has_alpha, compat, n_pad), cap))
-        t_stage = _time.perf_counter() - t0
+            return (items, key, out, totals, rgba, nval, cap, rgba.nbytes)
 
-        host_thread = None
-        if host_items:
-            import threading
-
-            host_thread = threading.Thread(
-                target=self._host_encode_pool, args=(host_items, results)
-            )
-            host_thread.start()
-
-        from ..utils import transfer
-
-        # --- phase 2: fence the first bucket, then fetch bucket by bucket -
-        t0 = _time.perf_counter()
-        if pending:
-            float(jnp.sum(pending[0][2][:1].astype(jnp.float32)))
-        t_compute = _time.perf_counter() - t0
-
-        t0 = _time.perf_counter()
-        for (items, out, totals, rgba, nval,
-             (colch, has_alpha, compat, n_pad), cap) in pending:
+        def finish(entry):
+            items, key, out, totals, rgba, nval, cap, _ = entry
+            colch, has_alpha, compat, n_pad = key
             b = len(items)
             totals = np.asarray(totals)
             # trim the fetch to the longest actual stream in the bucket
@@ -473,7 +541,101 @@ class BatchEncoder:
                     results[i] = (
                         spec.pack_header(desc) + out[j, : totals[j]].tobytes()
                     )
-        t_fetch = _time.perf_counter() - t0
+
+        def recover(items, key):
+            """OOM degradation: synchronous re-dispatch, halving while the
+            launch still OOMs; a lone image that cannot fit encodes on the
+            host (the reference's one-call encode never fails on memory,
+            seqoia.h:456)."""
+            stats["oom_redispatch"] += 1
+            try:
+                finish(dispatch(items, key))
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                if len(items) == 1:
+                    self._host_encode_pool(items, results)
+                    return
+                recover(items[: len(items) // 2], key)
+                recover(items[len(items) // 2 :], key)
+
+        def drain_one():
+            entry = pending.pop(0)
+            try:
+                finish(entry)
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                failed = [(entry[0], entry[1])]
+                for p in pending:
+                    try:
+                        finish(p)
+                    except Exception as e2:
+                        if not _is_oom(e2):
+                            raise
+                        failed.append((p[0], p[1]))
+                pending.clear()
+                for its, key in failed:
+                    recover(its, key)
+
+        def entry_bytes(entry):
+            return entry[2].size * entry[2].dtype.itemsize + entry[7]
+
+        max_outstanding = self.max_outstanding_bytes
+        outstanding = 0
+        t0 = _time.perf_counter()
+        for (colch, has_alpha, compat, n_pad), items in groups.items():
+            if compat and n_pad > 1 << 23:
+                # Very large compat encodes stay on the host pool: the TPU
+                # path (slot last-writer hash resolution, encode_v2.py)
+                # is byte-exact at any tile-aligned size, but beyond ~8 Mpx
+                # per image the host cores win on aggregate throughput.
+                host_items.extend(items)
+                continue
+            key = (colch, has_alpha, compat, n_pad)
+            try:
+                entry = dispatch(items, key)
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                while pending:
+                    drain_one()
+                outstanding = 0
+                recover(items, key)
+                continue
+            pending.append(entry)
+            outstanding += entry_bytes(entry)
+            while outstanding > max_outstanding and len(pending) > 1:
+                tf = _time.perf_counter()
+                outstanding -= entry_bytes(pending[0])
+                drain_one()
+                stats["early_drains"] += 1
+                t_fetch_early += _time.perf_counter() - tf
+        t_stage = _time.perf_counter() - t0 - t_fetch_early
+
+        host_thread = None
+        if host_items:
+            import threading
+
+            host_thread = threading.Thread(
+                target=self._host_encode_pool, args=(host_items, results)
+            )
+            host_thread.start()
+
+        # --- phase 2: fence the first bucket, then fetch bucket by bucket -
+        t0 = _time.perf_counter()
+        if pending:
+            try:
+                float(jnp.sum(pending[0][3][:1].astype(jnp.float32)))
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+        t_compute = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        while pending:
+            drain_one()
+        t_fetch = _time.perf_counter() - t0 + t_fetch_early
 
         t0 = _time.perf_counter()
         if host_thread is not None:
@@ -483,6 +645,7 @@ class BatchEncoder:
             "stage": t_stage, "compute": t_compute, "fetch": t_fetch,
             "host": t_host,
         }
+        self.last_stats = stats
         return results
 
     @staticmethod
@@ -497,7 +660,8 @@ class BatchEncoder:
             i, pix, desc = arg
             return i, native.encode(
                 np.asarray(pix, np.uint8).ravel(), desc.width,
-                desc.height, desc.channels, desc.colorspace, 1,
+                desc.height, desc.channels, desc.colorspace,
+                int(desc.qoi_compat),
             )
 
         if (os.cpu_count() or 8) <= 1:

@@ -122,6 +122,101 @@ def test_batch_decode_ref_fallback():
     assert np.array_equal(results[1].pixels, oracle1)
 
 
+def test_encoder_outstanding_bytes_drain():
+    """Dispatched-but-unfetched device bytes are bounded: exceeding the
+    cap drains the oldest bucket before more dispatch (VERDICT r4 #2 —
+    BatchEncoder previously held every bucket until the fetch phase)."""
+    rng = np.random.default_rng(7)
+    corpus = _mini_corpus(rng, 15)
+    enc = BatchEncoder(max_outstanding_bytes=1)  # every dispatch exceeds it
+    outs = enc([p for p, _, _ in corpus], [d for _, d, _ in corpus])
+    for (pix, desc, stream), out in zip(corpus, outs):
+        assert out == stream
+    assert enc.last_stats["early_drains"] >= 1
+
+
+def test_decoder_outstanding_bytes_drain():
+    rng = np.random.default_rng(8)
+    corpus = _mini_corpus(rng, 15)
+    streams = [s for _, _, s in corpus]
+    dec = BatchDecoder(max_outstanding_bytes=1)
+    results = dec(streams)
+    for (pix, desc, stream), res in zip(corpus, results):
+        oracle, _ = native.decode(stream, 0)
+        assert np.array_equal(res.pixels, oracle)
+    assert dec.last_stats["early_drains"] >= 1
+
+
+class _FakeOOM(RuntimeError):
+    def __str__(self):
+        return "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+
+
+def test_encoder_oom_degradation(monkeypatch):
+    """A RESOURCE_EXHAUSTED dispatch drains the queue and re-runs the
+    failed bucket at degraded size instead of failing the call."""
+    from seqoia_tpu.parallel import batch as batch_mod
+
+    real = batch_mod._encode_batch_kernel
+    fails = {"n": 2}
+
+    def flaky(*a, **kw):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise _FakeOOM()
+        return real(*a, **kw)
+
+    monkeypatch.setattr(batch_mod, "_encode_batch_kernel", flaky)
+    rng = np.random.default_rng(9)
+    corpus = _mini_corpus(rng, 10)
+    enc = BatchEncoder()
+    outs = enc([p for p, _, _ in corpus], [d for _, d, _ in corpus])
+    for (pix, desc, stream), out in zip(corpus, outs):
+        assert out == stream
+    assert enc.last_stats["oom_redispatch"] >= 1
+
+
+def test_encoder_oom_single_image_host_fallback(monkeypatch):
+    """An image that OOMs even alone encodes on the host (with its own
+    compat flag, not the host pool's old hardcoded one)."""
+    from seqoia_tpu.parallel import batch as batch_mod
+
+    def always_oom(*a, **kw):
+        raise _FakeOOM()
+
+    monkeypatch.setattr(batch_mod, "_encode_batch_kernel", always_oom)
+    rng = np.random.default_rng(10)
+    corpus = _mini_corpus(rng, 4)  # includes compat and non-compat modes
+    enc = BatchEncoder()
+    outs = enc([p for p, _, _ in corpus], [d for _, d, _ in corpus])
+    for (pix, desc, stream), out in zip(corpus, outs):
+        assert out == stream
+
+
+def test_decoder_oom_degradation(monkeypatch):
+    from seqoia_tpu.parallel import batch as batch_mod
+
+    real = batch_mod._decode_batch_kernel
+    fails = {"n": 2}
+
+    def flaky(*a, **kw):
+        if fails["n"]:
+            fails["n"] -= 1
+            raise _FakeOOM()
+        return real(*a, **kw)
+
+    monkeypatch.setattr(batch_mod, "_decode_batch_kernel", flaky)
+    rng = np.random.default_rng(11)
+    corpus = _mini_corpus(rng, 10)
+    streams = [s for _, _, s in corpus]
+    dec = BatchDecoder()
+    results = dec(streams)
+    for (pix, desc, stream), res in zip(corpus, results):
+        oracle, _ = native.decode(stream, 0)
+        assert np.array_equal(res.pixels, oracle)
+    assert dec.last_stats["oom_redispatch"] >= 1
+
+
 def test_fetch_flat_chunked_tail():
     """Chunked device->host fetch: exact bytes incl. the clamped final
     chunk (utils/transfer.py relies on dynamic_slice start clamping)."""
