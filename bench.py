@@ -303,10 +303,24 @@ def xlarge_leg(dim=None, runs=3):
     20000x20000 is exactly 400e6 and REJECTED (height >= 400e6/width), so
     the maximal legal shape at width 20000 is 20000x19999. Device-resident
     compute only: the end-to-end story is the 100 Mpx leg's; this leg
-    proves the single-call ceiling decodes/encodes at speed with parity
-    checked on device (uploading the oracle beats fetching 1.2 GB back
-    through the tunnel). Standalone so it can be smoke-run at a small
-    `dim` without the rest of the bench."""
+    proves the single-call ceiling decodes/encodes at speed.
+
+    The only upload is the oracle STREAM (~0.7 GB): the encode input is
+    derived ON DEVICE from the decode output (the decoded RGB words are
+    exactly pack_words' stride-3 input), and the encode expectation is a
+    slice of the already-uploaded stream. At the tunnel's ~15-20 MB/s
+    that halves the leg's wall cost vs also uploading the 1.2 GB raw
+    pixels, which is what lets this section fit the driver's window
+    (VERDICT r4 #3). Parity is the roundtrip
+    ``encode(pack(decode(stream))) == stream`` — byte-exact over every
+    stream byte on device, which pins decode(stream) to the encoder's
+    unique preimage — PLUS a direct sampled compare of the decoded words
+    against the host pixels (32 chunks, ~8 MB) to break any
+    compensating-bug tie between the two directions. The 100 Mpx section
+    keeps the fully-direct both-sides parity against uploaded pixels.
+    ``SEQOIA_BENCH_XLARGE_DIRECT=1`` restores the full direct compare
+    here too (uploads the pixels). Standalone so it can be smoke-run at
+    a small `dim` without the rest of the bench."""
     import jax
     import jax.numpy as jnp
 
@@ -344,8 +358,9 @@ def xlarge_leg(dim=None, runs=3):
     xn = xw * xh
     xpix, xoracle = _large_assets(xw, xh)
     xdesc = sq.SqoaDesc(xw, xh, 3, 0, 0)
+    direct = os.environ.get("SEQOIA_BENCH_XLARGE_DIRECT", "") == "1"
 
-    # decode compute + device-side parity
+    # decode compute (input: the uploaded oracle stream)
     m_pad = _bucket(len(xoracle))
     n_max = _bucket(xn)
     buf = np.zeros((1, m_pad), np.uint8)
@@ -365,22 +380,44 @@ def xlarge_leg(dim=None, runs=3):
     _note("xlarge decode")
     t_xd = timed(jax.jit(xdec_run), xarr)
     words, _ = xdfn(xarr, xclen, xnpx)
-    # compare in int32 WORD space: a device bitcast to (1, N, 4) uint8
-    # puts the 4-channel axis minor, whose T(8,128) tiled layout pads 32x
-    # (38 GB at 400 Mpx). xn*3 % 4 == 0 because xw % 4 == 0, so the valid
-    # region is word-aligned and the host .view is free.
+    # valid region is word-aligned: xn*3 % 4 == 0 because xw % 4 == 0, so
+    # the host .view against the raw pixels is free. (Comparisons stay in
+    # int32 WORD space: a device bitcast to (1, N, 4) uint8 puts the
+    # 4-channel axis minor, whose T(8,128) tiled layout pads 32x — 38 GB
+    # at 400 Mpx.)
     assert xw % 4 == 0
     nw = xn * 3 // 4
-    exp = np.zeros(int(words.shape[1]) * 4, np.uint8)
-    exp[: xn * 3] = xpix
-    xdec_ok = bool(jax.device_get(rows_equal(
-        words.reshape(-1), jnp.asarray(exp.view("<i4")), jnp.int32(nw))))
-    del words, exp, xarr
+    if direct:
+        exp = np.zeros(int(words.shape[1]) * 4, np.uint8)
+        exp[: xn * 3] = xpix
+        xdec_ok = bool(jax.device_get(rows_equal(
+            words.reshape(-1), jnp.asarray(exp.view("<i4")), jnp.int32(nw))))
+        del exp
+    else:
+        # direct sampled compare: 32 contiguous 64K-word chunks spread over
+        # the valid region (~8 MB D2H)
+        host_words = np.ascontiguousarray(xpix[: nw * 4]).view("<i4")
+        wflat = words.reshape(-1)
+        chunk = 65536
+        xdec_ok = True
+        for k in range(32):
+            off = (k * (nw - chunk)) // 31
+            got = np.asarray(wflat[off : off + chunk])
+            if not np.array_equal(got, host_words[off : off + chunk]):
+                xdec_ok = False
+                break
+        del host_words, wflat
 
-    # encode compute + device-side parity (masked compare vs oracle)
+    # encode compute: input pixels derived ON DEVICE — the decoded RGB
+    # words are precisely the stride-3 raw words pack_words ingests
     _note("xlarge encode")
-    packed = pallas_pack.normalize_pixels_device(xpix, xdesc)
-    packed.block_until_ready()
+    if direct:
+        packed = pallas_pack.normalize_pixels_device(xpix, xdesc)
+        packed.block_until_ready()
+    else:
+        packed = pallas_pack.pack_words(words[:, : n_max * 3 // 4], 3)[0]
+        packed.block_until_ready()
+    del words
     xcap = spec.cap_bucket(len(xoracle) * 9 // 8)
     xefn = jax.jit(functools.partial(
         encode_v2.encode_stream_flat, colch=3, has_alpha=False,
@@ -391,19 +428,116 @@ def xlarge_leg(dim=None, runs=3):
         return jnp.sum(out[::65537].astype(jnp.float32)) + tot
 
     t_xe = timed(jax.jit(xenc_run), packed)
-    out, tot = xefn(packed, jnp.int32(xn))
-    body = np.frombuffer(xoracle, np.uint8)[spec.HEADER_SIZE + 1 :]
-    oexp = np.zeros(int(out.shape[0]), np.uint8)
-    oexp[: len(body)] = body
-    xenc_ok = bool(jax.device_get(rows_equal(
-        out, jnp.asarray(oexp), jnp.int32(len(body)))))
-    xenc_ok = xenc_ok and int(jax.device_get(tot)) == len(body)
+
+    @jax.jit
+    def xenc_parity(p, stream_buf, elen):
+        out, tot = xefn(p, jnp.int32(xn))
+        L = min(out.shape[0], stream_buf.shape[1] - (spec.HEADER_SIZE + 1))
+        exp = jax.lax.slice_in_dim(
+            stream_buf, spec.HEADER_SIZE + 1, spec.HEADER_SIZE + 1 + L,
+            axis=1)[0]
+        keep = jnp.arange(L, dtype=jnp.int32) < elen
+        return (tot == elen) & jnp.all((out[:L] == exp) | ~keep)
+
+    elen = len(xoracle) - (spec.HEADER_SIZE + 1)
+    xenc_ok = bool(jax.device_get(
+        xenc_parity(packed, xarr, jnp.int32(elen))))
     return {
         "xlarge_mpx": round(xn / 1e6, 1),
         "xlarge_decode_compute_mpxs": round(xn / t_xd / 1e6, 1),
         "xlarge_encode_compute_mpxs": round(xn / t_xe / 1e6, 1),
         "xlarge_parity": bool(xdec_ok and xenc_ok),
+        "xlarge_parity_mode": "direct" if direct else "roundtrip+sample",
     }
+
+
+_REFPROBE = None
+
+
+def _refprobe_lib():
+    """ctypes handle over the GENUINE reference header (compiled from its
+    read-only mount via tools/refprobe.c). Cached per process."""
+    global _REFPROBE
+    if _REFPROBE is not None:
+        return _REFPROBE
+    import ctypes as _ct
+    import subprocess as _sp
+
+    so = "/tmp/librefprobe_bench.so"
+    _sp.run(
+        ["cc", "-O3", "-std=c11", "-shared", "-fPIC", "-w", "-o", so,
+         '-DSQOA_REFERENCE_HEADER="/root/reference/seqoia.h"',
+         os.path.join(_HERE, "tools", "refprobe.c")],
+        check=True, capture_output=True)
+    lib = _ct.CDLL(so)
+    u8p = _ct.POINTER(_ct.c_uint8)
+    u32p = _ct.POINTER(_ct.c_uint32)
+    lib.ref_decode.restype = _ct.c_int64
+    lib.ref_decode.argtypes = [u8p, _ct.c_int64, _ct.c_int, u8p,
+                               _ct.c_int64, u32p]
+    lib.ref_encode.restype = _ct.c_int64
+    lib.ref_encode.argtypes = [u8p, _ct.c_uint32, _ct.c_uint32, _ct.c_int,
+                               _ct.c_int, _ct.c_int, u8p, _ct.c_int64]
+    _REFPROBE = (lib, u8p, u32p)
+    return _REFPROBE
+
+
+def _ref_section(em, budget, corpus, streams, qoi_streams):
+    """Reference-header parity leg (VERDICT r4 #5): encode a sample of
+    corpus images through the GENUINE ``/root/reference/seqoia.h``
+    (compiled from its read-only mount) and assert byte-identity against
+    the sqn oracle streams every device parity in this bench is pinned
+    to — closing the self-grading loop on the exact artifact being
+    scored (match: sqoabench.c:448-455's memcmp verify). Decode side:
+    the header's decoder re-decodes those oracle streams and must
+    reproduce the original pixels; the ``.qoi`` encodings are checked
+    the same way. The TPU paths tie in transitively: the core sections
+    verify TPU encode == sqn stream and TPU decode == pixels byte-exact
+    on device for every corpus image."""
+    _note("reference-header parity leg")
+    lib, u8p, u32p = _refprobe_lib()
+    by_cat = defaultdict(list)
+    for i, (_, w, h, _, cat) in enumerate(corpus):
+        by_cat[cat].append(i)
+    sample = []
+    for cat in sorted(by_cat):
+        idxs = sorted(by_cat[cat],
+                      key=lambda i: corpus[i][1] * corpus[i][2])
+        sample.extend(idxs[:2])  # 2 per category: coverage over wall time
+    cap = max(
+        max(corpus[i][1] * corpus[i][2] * (corpus[i][3] + 2) + 64
+            for i in sample),
+        max(corpus[i][1] * corpus[i][2] * 4 for i in sample),
+    )
+    out = np.empty(cap, np.uint8)
+    desc_arr = np.zeros(5, np.uint32)
+    n_ok = 0
+    qoi_checked = 0
+    for i in sample:
+        p, w, h, ch, _ = corpus[i]
+        pix = np.ascontiguousarray(p, dtype=np.uint8).ravel()
+        n = lib.ref_encode(pix.ctypes.data_as(u8p), w, h, ch, 0, 0,
+                           out.ctypes.data_as(u8p), cap)
+        ok = n == len(streams[i]) and out[:n].tobytes() == streams[i]
+        sbuf = np.frombuffer(bytearray(streams[i]), np.uint8)
+        dn = lib.ref_decode(sbuf.ctypes.data_as(u8p), len(sbuf), 0,
+                            out.ctypes.data_as(u8p), cap,
+                            desc_arr.ctypes.data_as(u32p))
+        # channels 1..4 are already normalized, so ref_decode(…, 0)
+        # returns exactly the original interleaved bytes
+        ok = ok and dn == len(pix) and np.array_equal(out[:dn], pix)
+        if qoi_streams[i] is not None:
+            qn = lib.ref_encode(pix.ctypes.data_as(u8p), w, h, ch, 0, 1,
+                                out.ctypes.data_as(u8p), cap)
+            ok = ok and qn == len(qoi_streams[i]) and (
+                out[:qn].tobytes() == qoi_streams[i])
+            qoi_checked += 1
+        n_ok += ok
+    em.update(
+        ref_header_parity_n=n_ok,
+        ref_header_sample_n=len(sample),
+        ref_header_qoi_n=qoi_checked,
+    )
 
 
 def _platform_override():
@@ -514,15 +648,40 @@ def main():
     ):
         b = len(idxs)
         stride = colch + has_alpha
-        buf = np.zeros((b, m_pad), np.uint8)
+        # icon-class buckets take the segment-packed decode front
+        # (decode_v2.decode_stream_packed): TILE/m_pad same-size images
+        # per front grid step instead of one — the per-image fixed cost
+        # is what keeps icon_64 an order of magnitude under the corpus
+        # rate. Eligibility: every image decodes to exactly n_pad pixels.
+        seg_pack = None
+        if (b >= 2 and m_pad <= 8192 and n_pad <= 8192
+                and all(corpus[i][1] * corpus[i][2] == n_pad
+                        for i in idxs)):
+            seg_pack = m_pad
+            kseg = 32768 // seg_pack
+            b_rows = -(-b // kseg)
+            b2 = b_rows * kseg
+        else:
+            b2 = b
         clens = np.zeros(b, np.int32)
-        npx = np.zeros(b, np.int32)
-        raw = np.zeros((b, n_pad * stride), np.uint8)
+        npx = np.zeros(b2, np.int32)  # dummy packed segments stay 0
+        raw = np.zeros((b2, n_pad * stride), np.uint8)
         elen = np.zeros(b, np.int32)
+        if seg_pack:
+            buf = np.zeros((b_rows, 32768), np.uint8)
+            slens = np.zeros((b_rows, kseg), np.int32)
+        else:
+            buf = np.zeros((b, m_pad), np.uint8)
         for j, i in enumerate(idxs):
             s = streams[i]
             pix, w, h, ch, _ = corpus[i]
-            buf[j, : len(s)] = np.frombuffer(s, np.uint8)
+            if seg_pack:
+                r, c = divmod(j, kseg)
+                buf[r, c * seg_pack : c * seg_pack + len(s)] = (
+                    np.frombuffer(s, np.uint8))
+                slens[r, c] = len(s) - spec.PADDING_SIZE
+            else:
+                buf[j, : len(s)] = np.frombuffer(s, np.uint8)
             clens[j] = len(s) - spec.PADDING_SIZE
             npx[j] = w * h
             raw[j, : len(pix)] = pix  # ch in 1..4: normalized == raw
@@ -534,18 +693,34 @@ def main():
             pack_in.append((jnp.asarray(raw.view("<i4")), 4))
         else:
             # small bucket: host-packed (tiny: icons only)
-            rgba = np.zeros((b, n_pad), np.int32)
+            rgba = np.zeros((b2, n_pad), np.int32)
             for j, i in enumerate(idxs):
                 pix, w, h, ch, _ = corpus[i]
                 rgba[j, : w * h] = encode_jax.normalize_pixels_packed(
                     pix, sq.SqoaDesc(w, h, ch, 0, 0))
             pack_in.append((jnp.asarray(rgba), 0))
         del raw
-        dec_fn = functools.partial(
-            decode_v2.decode_stream_batched,
-            colch=colch, compat=False, out_ch=out_ch, n_max=n_pad,
-            emit="words", src_alpha=(out_ch in (2, 4)),
-        )
+        if seg_pack:
+            base_fn = functools.partial(
+                decode_v2.decode_stream_packed,
+                colch=colch, out_ch=out_ch, seg=seg_pack, seg_px=n_pad,
+                src_alpha=(out_ch in (2, 4)),
+            )
+
+            def dec_fn(data, sl, _npx, _base=base_fn, _k=kseg):
+                out, ref = _base(data, sl)
+                return out.reshape(out.shape[0] * _k, -1), ref
+
+            dec_args = (jnp.asarray(buf), jnp.asarray(slens),
+                        jnp.asarray(npx))
+        else:
+            dec_fn = functools.partial(
+                decode_v2.decode_stream_batched,
+                colch=colch, compat=False, out_ch=out_ch, n_max=n_pad,
+                emit="words", src_alpha=(out_ch in (2, 4)),
+            )
+            dec_args = (jnp.asarray(buf), jnp.asarray(clens),
+                        jnp.asarray(npx))
         # adaptive cap, as the production BatchEncoder sizes it steady-state
         # (observed bytes/px + slack; overflow would retry exactly)
         cap = spec.cap_bucket(max(len(streams[i]) for i in idxs) * 5 // 4)
@@ -553,11 +728,11 @@ def main():
             encode_v2.encode_stream_batched,
             colch=colch, has_alpha=has_alpha, compat=False, out_cap=int(cap),
         )
-        dec_args = (jnp.asarray(buf), jnp.asarray(clens), jnp.asarray(npx))
         plans.append(dict(
             cat=cat, colch=colch, out_ch=out_ch, dec_fn=dec_fn,
             dec_args=dec_args, enc_fn=enc_fn, cap=int(cap),
-            elen=jnp.asarray(elen), idxs=idxs,
+            elen=jnp.asarray(elen), idxs=idxs, seg_pack=seg_pack,
+            enc_rows=(b if seg_pack else None),
             mpx=sum(corpus[i][1] * corpus[i][2] for i in idxs),
         ))
 
@@ -641,6 +816,9 @@ def main():
     parity_ok = int(np.asarray(jax.device_get(dec_parity_all(
         [p["dec_args"] for p in plans], [p["packed"] for p in plans]
     ))).sum())
+    # dummy packed segments (npx 0) pass vacuously: don't count them
+    parity_ok -= sum(
+        p["dec_args"][2].shape[0] - len(p["idxs"]) for p in plans)
     _note(f"decode parity {parity_ok}/{len(corpus)}")
     dec_plans = [(p["cat"], p["dec_fn"], p["dec_args"], p["mpx"])
                  for p in plans]
@@ -690,8 +868,16 @@ def main():
     def enc_parity_all(packs, dec_args_all, elens):
         oks = []
         for plan, pk, dargs, elen in zip(plans, packs, dec_args_all, elens):
-            out, totals = plan["enc_fn"](pk, dargs[2])
+            eb = plan["enc_rows"]
+            nv = dargs[2]
+            if eb is not None:  # packed bucket: drop dummy segments
+                pk, nv = pk[:eb], nv[:eb]
+            out, totals = plan["enc_fn"](pk, nv)
             buf = dargs[0]
+            if plan["seg_pack"]:
+                # the packed row IS the per-image stream buffers laid
+                # seg bytes apart: a reshape recovers the (b, seg) view
+                buf = buf.reshape(-1, plan["seg_pack"])[:eb]
             L = min(out.shape[1], buf.shape[1] - (spec.HEADER_SIZE + 1))
             exp = jax.lax.slice_in_dim(
                 buf, spec.HEADER_SIZE + 1, spec.HEADER_SIZE + 1 + L, axis=1)
@@ -722,13 +908,18 @@ def main():
     enc_groups = []  # kept for the qoi TPU-encode leg
     for (cat, colch, out_ch, n_pad), group in coarse.items():
         gidxs = [i for p in group for i in p["idxs"]]
+
+        def _enc_view(p, col):  # drop packed buckets' dummy segments
+            x = p["packed"] if col == 0 else p["dec_args"][2]
+            return x[: p["enc_rows"]] if p["enc_rows"] is not None else x
+
         packed_cat = (
-            group[0]["packed"] if len(group) == 1
-            else jnp.concatenate([p["packed"] for p in group], axis=0)
+            _enc_view(group[0], 0) if len(group) == 1
+            else jnp.concatenate([_enc_view(p, 0) for p in group], axis=0)
         )
         nval_cat = (
-            group[0]["dec_args"][2] if len(group) == 1
-            else jnp.concatenate([p["dec_args"][2] for p in group])
+            _enc_view(group[0], 1) if len(group) == 1
+            else jnp.concatenate([_enc_view(p, 1) for p in group])
         )
         cap = spec.cap_bucket(max(len(streams[i]) for i in gidxs) * 5 // 4)
         fn = functools.partial(
@@ -854,18 +1045,60 @@ def main():
         file=sys.stderr,
     )
 
-    # release what the remaining sections don't need: the per-direction
-    # plan views and the stream buffers (decode timing/cats are done; the
-    # qoi leg only needs the coarse packed groups)
+    # release the per-direction plan views and the stream buffers (decode
+    # timing/cats are done; the qoi TPU-encode leg only needs the coarse
+    # packed groups, which free_staging below releases the moment it's
+    # done with them)
     del dec_plans, enc_plans
     for p in plans:
-        p["dec_args"] = (None,) + p["dec_args"][1:]
+        p["dec_args"] = None
+        p["elen"] = None
+    del plans
     import gc
 
     gc.collect()
 
+    def free_staging():
+        """Drop the device-packed pixels (the last of the unified
+        staging, ~4 B/px corpus-wide): called by the qoi section after
+        its TPU-encode leg, and again here as a belt-and-braces."""
+        for g in enc_groups:
+            g["packed"] = None
+            g["nval"] = None
+
+    # --- reference-header parity (sqoabench.c:448-455) ----------------------
+    # cheap + host-only: runs before the big optional sections so it
+    # lands in the record even under a collapsing budget
+    if budget.ok(40):
+        try:
+            _ref_section(em, budget, corpus, streams, qoi_streams)
+        except Exception as e:
+            _note(f"ref-header section failed: {e!r}")
+            em.update(ref_header_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("ref_header")
+
+    # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
+    # before the large/xlarge/api sections: its TPU-encode leg is the one
+    # consumer of the still-resident packed staging, and the section
+    # frees that staging once the leg completes
+    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(120):
+        try:
+            _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
+                         runs, enc_groups, free_staging)
+        except Exception as e:  # optional section: record, keep the line
+            _note(f"qoi section failed: {e!r}")
+            em.update(qoi_error=repr(e)[:200])
+        em.emit(budget)
+    else:
+        em.skipped.append("qoi")
+    free_staging()
+    del enc_groups
+    gc.collect()
+
     # --- large single image (100 Mpx, BASELINE config 5) --------------------
-    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(180):
+    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(150):
         try:
             _large_section(em, budget)
         except Exception as e:
@@ -876,22 +1109,24 @@ def main():
         em.skipped.append("large")
     gc.collect()
 
-    # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
-    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(150):
+    # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
+    # before the api section: xlarge is all-or-nothing (~upload one
+    # 0.7 GB stream + warm-compiled kernels), while the api sample
+    # shrinks to whatever budget remains
+    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1" and budget.ok(110):
         try:
-            _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
-                         runs, enc_groups)
-        except Exception as e:  # optional section: record, keep the line
-            _note(f"qoi section failed: {e!r}")
-            em.update(qoi_error=repr(e)[:200])
+            _note("xlarge 400 Mpx section")
+            em.update(**xlarge_leg())
+        except Exception as e:
+            _note(f"xlarge section failed: {e!r}")
+            em.update(xlarge_error=repr(e)[:200])
         em.emit(budget)
     else:
-        em.skipped.append("qoi")
-    del plans, enc_groups  # release the staging (streams + packed pixels)
+        em.skipped.append("xlarge")
     gc.collect()
 
     # --- public API path (corpus_decode / corpus_encode, end to end) --------
-    if os.environ.get("SEQOIA_BENCH_API", "1") == "1" and budget.ok(150):
+    if os.environ.get("SEQOIA_BENCH_API", "1") == "1" and budget.ok(60):
         try:
             _api_section(em, budget, corpus, streams)
         except Exception as e:
@@ -900,28 +1135,24 @@ def main():
         em.emit(budget)
     else:
         em.skipped.append("api")
-    gc.collect()
-
-    # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
-    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1" and budget.ok(300):
-        try:
-            _note("xlarge 400 Mpx section")
-            em.update(**xlarge_leg())
-        except Exception as e:
-            _note(f"xlarge section failed: {e!r}")
-            em.update(xlarge_error=repr(e)[:200])
-    else:
-        em.skipped.append("xlarge")
 
     em.emit(budget, final=True)
 
 
 def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
-                 enc_groups):
+                 enc_groups, free_staging):
     """`.qoi` decode/encode through the production dispatch. Both
     dispatches are timed and the winner is the headline: the host pool
     scales with cores (this box has ONE, capping it at ~0.7x the
-    reference's M1 core), the TPU kernel path with the chip."""
+    reference's M1 core), the TPU kernel path with the chip.
+
+    Device-memory lifecycle (VERDICT r4 #1): the TPU-encode leg runs
+    FIRST (it reuses the unified staging's packed pixels), its parity
+    oracles upload one sub-batch at a time instead of all at once, and
+    ``free_staging`` releases the ~4 B/px packed staging the moment that
+    leg is done — before the fixpoint's ~20x-stream working set
+    allocates. Each device leg retries once at a halved sub-batch on
+    RESOURCE_EXHAUSTED before recording an error."""
     import gc
 
     import jax
@@ -935,6 +1166,24 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     _note("qoi section")
     q_items = [(i, q) for i, q in enumerate(qoi_streams) if q is not None]
     q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
+
+    def leg(label, run, *args):
+        """Run one device leg; on RESOURCE_EXHAUSTED, gc + retry once at
+        a halved sub-batch cap before recording a per-leg error field."""
+        try:
+            return run(*args)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            _note(f"{label}: RESOURCE_EXHAUSTED — retrying at halved "
+                  f"sub-batch")
+            gc.collect()
+            try:
+                return run(*args, cap_bytes=12 << 20)
+            except Exception as e2:
+                _note(f"{label}: retry failed: {e2!r}")
+                em.update(**{f"{label}_error": repr(e2)[:160]})
+                return None
 
     # INDEX-chain depth probe over the whole .qoi corpus: the dispatch
     # predictor (native.compat_probe) + its measured per-category depth
@@ -957,6 +1206,88 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         corpus[i][1] * corpus[i][2] for i, _ in q_items
         if depths[i] < fp_cap
     )
+
+    # ---- TPU compat encode (slot last-writer hash resolution) first:
+    # reuses the unified staging's device-packed pixels, then the staging
+    # frees for good. One compat encode per color bucket, sub-batched;
+    # parity oracles (expected .qoi payloads) upload and verify ONE
+    # sub-batch at a time — peak extra co-residency is one sub-batch's
+    # cap buffer, not the whole corpus's .qoi bytes.
+    run_qe = budget.ok(110)
+    qe_mpxs = None
+    qe_parity = 0
+
+    def qe_leg(cap_bytes=24 << 20):
+        _note("qoi tpu-encode leg")
+        qe_plans = []
+        for grp in enc_groups:
+            if grp["colch"] != 3 or grp["packed"] is None:
+                continue
+            idxs = grp["idxs"]
+            n_pad = int(grp["packed"].shape[1])
+            # sub-batch rows: the compat encode path (slot last-writer
+            # hash resolution + XLA spread) holds several per-position
+            # arrays, so rows per launch are capped by pixel count
+            b_cap = max(1, cap_bytes // n_pad)
+            for c0 in range(0, len(idxs), b_cap):
+                sub = idxs[c0 : c0 + b_cap]
+                b = len(sub)
+                cap = spec.cap_bucket(
+                    max(len(qoi_streams[i]) for i in sub) * 5 // 4)
+                efn = functools.partial(
+                    encode_v2.encode_stream_batched,
+                    colch=3, has_alpha=bool(grp["out_ch"] == 4),
+                    compat=True, out_cap=int(cap))
+                eargs = (grp["packed"][c0 : c0 + b],
+                         grp["nval"][c0 : c0 + b])
+                qe_plans.append((efn, eargs, sub))
+
+        @functools.partial(jax.jit, static_argnames=("has_alpha", "out_cap"))
+        def _qe_parity_one(a, exp, elen, has_alpha, out_cap):
+            out, totals = encode_v2.encode_stream_batched(
+                *a, colch=3, has_alpha=has_alpha, compat=True,
+                out_cap=out_cap)
+            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
+                elen[:, None])
+            return (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
+
+        par = 0
+        for efn, eargs, sub in qe_plans:
+            exp = np.zeros((len(sub), efn.keywords["out_cap"]), np.uint8)
+            elen = np.zeros(len(sub), np.int32)
+            for j, i in enumerate(sub):
+                payload = qoi_streams[i][spec.HEADER_SIZE:]
+                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+                elen[j] = len(payload)
+            ok = np.asarray(jax.device_get(_qe_parity_one(
+                eargs, jnp.asarray(exp), jnp.asarray(elen),
+                has_alpha=efn.keywords["has_alpha"],
+                out_cap=efn.keywords["out_cap"])))
+            par += int(ok[: len(sub)].sum())
+            del exp
+
+        @jax.jit
+        def _qe_all(all_args):
+            acc = jnp.float32(0)
+            for (efn, _, _), a in zip(qe_plans, all_args):
+                out, _ = efn(*a)
+                acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
+            return acc
+
+        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
+        return q_px / tqe / 1e6, par
+
+    if run_qe:
+        got = leg("qoi_tpu_encode", qe_leg)
+        if got:
+            qe_mpxs, qe_parity = got
+        run_qe = got is not None
+    # the staging's job is done: release the packed pixels BEFORE the
+    # host/fixpoint legs (the fixpoint working set + the API section's
+    # own staging need the HBM)
+    free_staging()
+    gc.collect()
+
     # the host legs are single-threaded per core; sample a bounded slice so
     # the pool timing doesn't dominate bench wall time at large scales
     sample_mpx = 120e6 if budget.ok(420) else 60e6
@@ -995,107 +1326,16 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
             list(ex.map(qenc, hs_items))
             q_enc_t = time.perf_counter() - t0
 
-    # TPU compat encode (slot last-writer hash resolution): reuses the
-    # unified staging's device-packed pixels (nothing re-uploads except
-    # the expected .qoi payloads for parity), one compat encode per color
-    # bucket; parity on device in the fused warmup (exact totals + masked
-    # byte equality)
-    run_qe = budget.ok(300)
-    qe_mpxs = None
-    qe_parity = 0
-    if run_qe:
-        _note("qoi tpu-encode leg")
-    qe_plans = []
-    qe_oracle = []
-    for grp in (enc_groups if run_qe else []):
-        if grp["colch"] != 3:
-            continue
-        idxs = grp["idxs"]
-        n_pad = int(grp["packed"].shape[1])
-        # sub-batch rows: the compat encode path (slot last-writer hash
-        # resolution + XLA spread) holds several per-position arrays, so
-        # rows per launch are capped by pixel count — same bound the
-        # pre-coarse staging used
-        b_cap = max(1, (24 << 20) // n_pad)
-        for c0 in range(0, len(idxs), b_cap):
-            sub = idxs[c0 : c0 + b_cap]
-            b = len(sub)
-            cap = spec.cap_bucket(
-                max(len(qoi_streams[i]) for i in sub) * 5 // 4)
-            exp = np.zeros((b, int(cap)), np.uint8)
-            elen = np.zeros(b, np.int32)
-            for j, i in enumerate(sub):
-                payload = qoi_streams[i][spec.HEADER_SIZE:]
-                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-                elen[j] = len(payload)
-            efn = functools.partial(
-                encode_v2.encode_stream_batched,
-                colch=3, has_alpha=bool(grp["out_ch"] == 4), compat=True,
-                out_cap=int(cap))
-            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
-            del exp
-            eargs = (grp["packed"][c0 : c0 + b], grp["nval"][c0 : c0 + b])
-            qe_plans.append((efn, eargs, b))
-
-    @jax.jit
-    def _qe_parity_all(all_args, oracles):
-        oks = []
-        for (efn, _, _), a, (exp, elen) in zip(qe_plans, all_args, oracles):
-            out, totals = efn(*a)
-            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
-                elen[:, None])
-            oks.append(
-                (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
-            )
-        return jnp.concatenate(oks)
-
-    if run_qe:
-        qp_all = np.asarray(jax.device_get(
-            _qe_parity_all([a for _, a, _ in qe_plans], qe_oracle)))
-        del qe_oracle
-        qe_parity = 0
-        off = 0
-        for _, ea, nlive in qe_plans:
-            qe_parity += int(qp_all[off : off + nlive].sum())
-            off += ea[0].shape[0]
-
-    @jax.jit
-    def _qe_all(all_args):
-        acc = jnp.float32(0)
-        for (efn, _, _), a in zip(qe_plans, all_args):
-            out, _ = efn(*a)
-            acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
-        return acc
-
-    if run_qe:
-        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
-        qe_mpxs = q_px / tqe / 1e6
-
     # on-box reference speeds: the genuine reference header, compiled
     # from its read-only mount and timed on this host's core, is the
     # apples-to-apples bar — the published 244.82/190.69 Mpx/s are an
     # Apple M1 core (bench10.txt:122), not this machine
     ref_onbox = {}
     try:
-        if not budget.ok(90):
+        if not budget.ok(60):
             raise TimeoutError("budget")
         _note("qoi on-box reference leg")
-        import ctypes as _ct
-        import subprocess as _sp
-
-        _sp.run(
-            ["cc", "-O3", "-std=c11", "-shared", "-fPIC", "-w",
-             "-o", "/tmp/librefprobe_bench.so",
-             '-DSQOA_REFERENCE_HEADER="/root/reference/seqoia.h"',
-             os.path.join(_HERE, "tools", "refprobe.c")],
-            check=True, capture_output=True)
-        _lib = _ct.CDLL("/tmp/librefprobe_bench.so")
-        _u8p = _ct.POINTER(_ct.c_uint8)
-        _u32p = _ct.POINTER(_ct.c_uint32)
-        _lib.ref_decode.restype = _ct.c_int64
-        _lib.ref_decode.argtypes = [_u8p, _ct.c_int64, _ct.c_int, _u8p,
-                                    _ct.c_int64, _u32p]
-        _lib.ref_encode.restype = _ct.c_int64
+        _lib, _u8p, _u32p = _refprobe_lib()
         _out = np.empty(256_000_000, np.uint8)
         _dsc = np.zeros(5, np.uint32)
         _bufs = [np.frombuffer(bytearray(q), np.uint8) for _, q in hs_items]
@@ -1106,86 +1346,100 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
                             _dsc.ctypes.data_as(_u32p))
         ref_onbox["qoi_ref_onbox_decode_mpxs"] = round(
             hs_px / (time.perf_counter() - t0) / 1e6, 1)
+        del _out, _bufs
     except Exception:  # cc missing etc — the numbers are optional
         pass
 
     # TPU fixpoint decode over every color bucket (device-resident, same
     # methodology as the sqoa numbers); unconverged rows would take the
-    # host fallback in production — convergence is reported. Buckets
-    # sub-batch so the fixpoint's ~20x-stream working set stays well
-    # inside HBM (rows per launch capped by stream bytes). Convergence
-    # bools come back from the fused warmup — no per-bucket dispatches.
-    run_fp = budget.ok(420)
+    # host fallback in production — convergence is reported, and the
+    # probe's accuracy (VERDICT r3 #4 done-criterion) needs only the
+    # convergence flags, so those run per-sub-batch (bounded working
+    # set) even when the budget can't afford the timing pass.
+    run_fp = budget.ok(110)
     fp_mpxs = None
     fp_conv = 0
     probe_hits = None
     tfp = None
-    if run_fp:
+
+    def fp_leg(cap_bytes=24 << 20):
         _note("qoi fixpoint leg")
-    fp_buckets = defaultdict(list)
-    for i, q in q_items:
-        fp_buckets[(_bucket(len(q)), _bucket(corpus[i][1] * corpus[i][2]))
-                   ].append(i)
-    fp_plans = []
-    for (m_pad, n_max), all_idxs in (
-        fp_buckets.items() if run_fp else []
-    ):
-        b_cap = max(1, (24 << 20) // m_pad)
-        for c0 in range(0, len(all_idxs), b_cap):
-            idxs = all_idxs[c0 : c0 + b_cap]
-            b = b_cap if len(all_idxs) > b_cap else len(idxs)
-            buf = np.zeros((b, m_pad), np.uint8)
-            cl = np.zeros(b, np.int32)
-            npx = np.zeros(b, np.int32)
-            for j, i in enumerate(idxs):
-                q = qoi_streams[i]
-                buf[j, : len(q)] = np.frombuffer(q, np.uint8)
-                cl[j] = len(q) - spec.PADDING_SIZE
-                npx[j] = corpus[i][1] * corpus[i][2]
-            fargs = (jnp.asarray(buf), jnp.asarray(cl), jnp.asarray(npx))
-            ffn = functools.partial(
-                decode_compat.decode_stream_compat_batched,
-                colch=3, out_ch=4, n_max=int(n_max))
-            fp_plans.append((ffn, fargs, list(idxs)))
+        fp_buckets = defaultdict(list)
+        for i, q in q_items:
+            fp_buckets[(_bucket(len(q)),
+                        _bucket(corpus[i][1] * corpus[i][2]))].append(i)
+        fp_plans = []
+        for (m_pad, n_max), all_idxs in fp_buckets.items():
+            b_cap = max(1, cap_bytes // m_pad)
+            for c0 in range(0, len(all_idxs), b_cap):
+                idxs = all_idxs[c0 : c0 + b_cap]
+                b = b_cap if len(all_idxs) > b_cap else len(idxs)
+                buf = np.zeros((b, m_pad), np.uint8)
+                cl = np.zeros(b, np.int32)
+                npx = np.zeros(b, np.int32)
+                for j, i in enumerate(idxs):
+                    q = qoi_streams[i]
+                    buf[j, : len(q)] = np.frombuffer(q, np.uint8)
+                    cl[j] = len(q) - spec.PADDING_SIZE
+                    npx[j] = corpus[i][1] * corpus[i][2]
+                fargs = (jnp.asarray(buf), jnp.asarray(cl),
+                         jnp.asarray(npx))
+                ffn = functools.partial(
+                    decode_compat.decode_stream_compat_batched,
+                    colch=3, out_ch=4, n_max=int(n_max))
+                fp_plans.append((ffn, fargs, list(idxs)))
 
-    @jax.jit
-    def _fp_conv_all(all_args):
-        convs = []
-        for (ffn, _, _), a in zip(fp_plans, all_args):
-            out, conv = ffn(*a)
+        # convergence flags one sub-batch at a time: peak co-residency is
+        # one fixpoint working set (~20x its sub-batch's stream bytes)
+        @functools.partial(jax.jit, static_argnames=("n_max",))
+        def _fp_conv_one(a, n_max):
+            out, conv = decode_compat.decode_stream_compat_batched(
+                *a, colch=3, out_ch=4, n_max=n_max)
             # force out via a cheap dependency folded into conv's row
-            convs.append(conv & (jnp.sum(out[:, ::8191]) < jnp.inf))
-        return jnp.concatenate(convs)
+            return conv & (jnp.sum(out[:, ::8191]) < jnp.inf)
 
-    if run_fp:
-        conv_all = np.asarray(jax.device_get(
-            _fp_conv_all([a for _, a, _ in fp_plans])))
-        fp_conv = 0
-        probe_hits = 0
-        off = 0
-        for _, fa, idxs in fp_plans:
+        conv = 0
+        hits = 0
+        n_scored = 0
+        for ffn, fa, idxs in fp_plans:
+            if budget.remaining() < budget.reserve:
+                _note("budget: truncating fixpoint convergence scan")
+                em.update(qoi_probe_accuracy_n=n_scored)
+                break
+            cb = np.asarray(jax.device_get(
+                _fp_conv_one(fa, n_max=ffn.keywords["n_max"])))
             for k, i in enumerate(idxs):
-                conv = bool(conv_all[off + k])
-                fp_conv += conv
-                probe_hits += (depths[i] < fp_cap) == conv
-            off += fa[0].shape[0]
+                c = bool(cb[k])
+                conv += c
+                hits += (depths[i] < fp_cap) == c
+            n_scored += len(idxs)
 
-    @jax.jit
-    def _fp_all(all_args):
-        acc = jnp.float32(0)
-        for (ffn, _, _), a in zip(fp_plans, all_args):
-            out, _ = ffn(*a)
-            acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
-        return acc
+        t = None
+        if budget.ok(70):
+            @jax.jit
+            def _fp_all(all_args):
+                acc = jnp.float32(0)
+                for (ffn, _, _), a in zip(fp_plans, all_args):
+                    out, _ = ffn(*a)
+                    acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
+                return acc
 
+            t = timed(_fp_all, [a for _, a, _ in fp_plans],
+                      n=max(2, runs - 3))
+        del fp_plans
+        return conv, hits, t, max(n_scored, 1)
+
+    n_scored = 1
     if run_fp:
-        tfp = timed(_fp_all, [a for _, a, _ in fp_plans])
-        fp_mpxs = q_px / tfp / 1e6
-        # production-honest hybrid: unconverged rows re-decode on the
-        # host pool; their pixels are charged at the measured host rate
-        unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
-
-    del fp_plans
+        got = leg("qoi_fixpoint", fp_leg)
+        if got:
+            fp_conv, probe_hits, tfp, n_scored = got
+            if tfp is not None:
+                fp_mpxs = q_px / tfp / 1e6
+                # production-honest hybrid: unconverged rows re-decode on
+                # the host pool; their pixels are charged at the measured
+                # host rate
+                unconv_px = q_px * (1.0 - fp_conv / max(len(q_items), 1))
     gc.collect()
 
     # probe-dispatched auto mode over the same sample: shallow streams ride
@@ -1215,7 +1469,8 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     host_enc = hs_px / q_enc_t / 1e6
     auto_dec = hs_px / q_auto_t / 1e6 if q_auto_t else 0.0
     hybrid_dec = (
-        q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6 if run_fp else 0.0
+        q_px / (tfp + unconv_px / (host_dec * 1e6)) / 1e6
+        if fp_mpxs is not None else 0.0
     )
     best_dec = max(host_dec, hybrid_dec, auto_dec)
     best_enc = max(host_enc, qe_mpxs or 0.0)
@@ -1237,13 +1492,13 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         "qoi_probe_shallow_px_pct": round(100.0 * shallow_px / q_px, 1),
         **ref_onbox,
     }
-    if run_fp:
-        qoi["qoi_tpu_decode_mpxs"] = round(fp_mpxs, 1)
-        qoi["qoi_tpu_converged_pct"] = round(
-            100.0 * fp_conv / len(q_items), 1)
+    if probe_hits is not None:
+        qoi["qoi_tpu_converged_pct"] = round(100.0 * fp_conv / n_scored, 1)
         qoi["qoi_probe_accuracy_pct"] = round(
-            100.0 * probe_hits / len(q_items), 1)
-    if run_qe:
+            100.0 * probe_hits / n_scored, 1)
+    if fp_mpxs is not None:
+        qoi["qoi_tpu_decode_mpxs"] = round(fp_mpxs, 1)
+    if qe_mpxs is not None:
         qoi["qoi_tpu_encode_mpxs"] = round(qe_mpxs, 1)
         qoi["qoi_tpu_encode_parity_n"] = qe_parity
     if q_auto_t:
@@ -1354,12 +1609,15 @@ def _api_section(em, budget, corpus, streams):
     _note("API path section")
     # budget-adaptive sample: the e2e path is tunnel-transfer-bound on
     # this box (~13-37 MB/s D2H), so a slice of the corpus demonstrates
-    # the same pipeline behavior in a fraction of the wall time
-    if not budget.ok(420):
-        step = 3
+    # the same pipeline behavior in a fraction of the wall time; the
+    # section runs last, so it takes whatever budget remains
+    remaining = budget.remaining() - budget.reserve
+    step = 1 if remaining >= 420 else (
+        2 if remaining >= 260 else (3 if remaining >= 160 else 6))
+    if step > 1:
         corpus = corpus[::step]
         streams = streams[::step]
-        _note(f"API sample: {len(corpus)} images")
+        _note(f"API sample: 1/{step} = {len(corpus)} images")
     total_px = sum(w * h for _, w, h, _, _ in corpus)
     descs = [sq.SqoaDesc(w, h, ch, 0, 0) for _, w, h, ch, _ in corpus]
     imgs = [p for p, *_ in corpus]

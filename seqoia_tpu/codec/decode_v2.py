@@ -355,7 +355,88 @@ def decode_stream_batched(data, chunks_len, n_pixels, *, colch, compat,
     return _maybe_words(out, emit), has_ref
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("colch", "out_ch", "seg", "seg_px", "src_alpha"),
+)
+def decode_stream_packed(data, seg_lens, *, colch, out_ch, seg, seg_px,
+                         src_alpha=True):
+    """Segment-packed decode for small same-size images (icon class).
+
+    Each row of ``data`` carries M/seg images: image j occupies bytes
+    [j*seg, (j+1)*seg) — its full stream, header included, zero-padded to
+    the segment — and must decode to EXACTLY seg_px pixels. The fused
+    front restarts its scans at segment boundaries and emits global
+    pixel keys, so one front grid step processes TILE/seg images and one
+    placement step up to 32768/seg_px of them — amortizing the
+    per-image fixed cost that dominates 4 Kpx icons (one grid step per
+    image each in front + placement on the per-image path).
+
+    data: (B, M) uint8, M % 32768 == 0; seg_lens: (B, M/seg) int32 =
+    per-image stream length minus padding (the per-image chunks_len).
+    Returns (words, has_ref (B,) — per packed ROW: any foreign/REF
+    image routes the whole row to the fallback). ``words`` is the
+    emit="words" layout of decode_stream_batched over the concatenated
+    n_out = (M/seg)*seg_px pixel space: int32 (B, n_out*out_ch//4) for
+    color, uint8/uint16 (B, n_out) for mono — image j's pixels start at
+    byte offset j*seg_px*out_ch, always word-aligned (seg_px % 4 == 0).
+    """
+    from ..ops import pallas_engine, pallas_frontend
+
+    bsz0, m0 = data.shape
+    k = m0 // seg
+    n_out = k * seg_px
+    assert seg_px % 4 == 0 and n_out % 2048 == 0
+    mode = "mono" if colch == 1 else ("alpha" if src_alpha else "noalpha")
+    keys_c, pays_c, totals, ref_flag = pallas_frontend.decode_front_compact(
+        data, seg_lens, n_out, mode=mode, rows=256, seg=seg, seg_px=seg_px
+    )
+    init = int(np.int32(np.uint32(255 << 24)))
+    p_out = next(p for p in (32768, 16384, 8192, 4096, 2048)
+                 if n_out % p == 0)
+    npx_total = jnp.full((bsz0, 1), n_out, jnp.int32)
+    if colch == 1:
+        out = pallas_engine.place_emit(
+            keys_c, pays_c, totals, npx_total, n_out, (init,),
+            _dec_epilogue_mono(out_ch), p_out=p_out,
+            out_dtype=jnp.uint8 if out_ch == 1 else jnp.uint16,
+            max_gap=spec.SQOA_MAXRUN - 1, entry_limit=m0,
+        )
+        return out, ref_flag != 0
+    rows = p_out // 128
+    out_rows = rows if out_ch == 4 else rows * 3 // 4
+    words = pallas_engine.place_emit(
+        keys_c, pays_c, totals, npx_total, n_out, (init,),
+        _dec_epilogue(out_ch), p_out=p_out, out_rows=out_rows,
+        out_dtype=jnp.int32, entry_limit=m0,
+        max_gap=spec.SQOA_MAXRUN - 1,
+    )
+    return words, ref_flag != 0
+
+
+def packed_backend_ok() -> bool:
+    """Can decode_stream_packed run here? (Pallas: TPU, or the
+    interpreter when SEQOIA_PALLAS_INTERPRET=1 — mirrors
+    _use_pallas_expand's backend gate.)"""
+    import os
+
+    if os.environ.get("SEQOIA_PALLAS_INTERPRET", "") == "1":
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
+
 def _maybe_words(u8_flat, emit):
+    """Flat uint8 pixels -> int32 words when emit="words" (fallback paths;
+    the relayout only runs where the in-kernel emission didn't)."""
+    if emit != "words":
+        return u8_flat
+    b, n = u8_flat.shape
+    return jax.lax.bitcast_convert_type(
+        u8_flat.reshape(b, n // 4, 4), jnp.int32
+    )
     """Flat uint8 pixels -> int32 words when emit="words" (fallback paths;
     the relayout only runs where the in-kernel emission didn't)."""
     if emit != "words":

@@ -150,7 +150,8 @@ def _chan_combine(ls, rs):
     return [(rv & m) | (s & ~m), ((lf | rf) & 3) | ((lf & ~3) + (rf & ~3))]
 
 
-def _front_body(mode, b, pos, clen, carry, rows=_R):
+def _front_body(mode, b, pos, clen, carry, rows=_R, seg=None, seg_px=None,
+                clen_map=None):
     """Shared front-end compute over one byte tile.
 
     mode: "alpha" | "noalpha" | "mono" (see module docstring).
@@ -163,13 +164,31 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
     Pixel offsets are NOT computed here:
     the fused kernel routes npix through the compaction butterfly (packed
     into d's high bits) and prefix-sums the compacted npix instead, which
-    drops both a full pixel-space scan and a butterfly payload."""
+    drops both a full pixel-space scan and a butterfly payload.
+
+    Segment-packed mode (``seg``/``seg_px``/``clen_map`` set): each row
+    carries many small images, one per ``seg``-byte segment, each decoding
+    to exactly ``seg_px`` pixels — the per-image fixed cost (one grid
+    step per image each in front and placement) amortizes over
+    TILE/seg images per step, which is what lifts icon-class decode off
+    its per-image floor. Every scan restarts at segment boundaries: the
+    token automaton composes a reset map (all states -> 0) at each
+    segment's first byte, the channel scan takes an injected absolute
+    anchor (r=g=b=0, a=255 — the reference's initial state,
+    seqoia.h:520-525,716-719) there, and pixel offsets come from a
+    segmented in-tile prefix sum. Returns (valid, npix, packed,
+    valid_rank_incl, keys) — keys are GLOBAL pixel offsets
+    (segment_index * seg_px + in-segment offset), and ops whose offset
+    would spill past seg_px are invalid (a per-segment suffix: the
+    reference decoder never fetches ops past its pixel count either,
+    seqoia.h:722-726)."""
     mono = mode == "mono"
     no_alpha = mode == "noalpha"
     use_mat = mode != "alpha"
     _R = rows  # shadow the module default: slices below are tile-relative
     row = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
+    pos_seg = pos & (seg - 1) if seg is not None else pos
 
     b1 = _shift_flat_left(b, 1)
     b2 = _shift_flat_left(b, 2)
@@ -220,14 +239,18 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
             ext = ext + (ck & 1)
             att = att + (ck & 1) * (((ck >> 8) & 31) - 16)
         lens2 = lens + ext
-    eff_lens = jnp.where(pos >= spec.HEADER_SIZE + 1, lens2[0:_R], 1)
+    eff_lens = jnp.where(pos_seg >= spec.HEADER_SIZE + 1, lens2[0:_R], 1)
     if use_mat:
         maps = _BASE4M | (1 << (eff_lens - 1))
         comp, ident = _compose_mat4, _IDENT4M
+        if seg is not None:  # segment start: reset map, all states -> 0
+            maps = jnp.where(pos_seg == 0, _COL4, maps)
     else:
         maps = (eff_lens - 1) + _BASE6
         comp = functools.partial(_compose_maps, ns=6)
         ident = _IDENT6
+        if seg is not None:  # reset map: every 3-bit digit = 0
+            maps = jnp.where(pos_seg == 0, 0, maps)
     incl = ktools.lane_row_scan(maps, comp, ident)
     # excl[i] = composition of maps[0..i-1] within the tile: roll by one in
     # flat order (lane 0 takes previous row's lane 127)
@@ -248,7 +271,11 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
     else:
         e0 = cm & 7
         token = ((excl >> (3 * e0)) & 7) == 0
-    token = token & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
+    if seg is not None:
+        token = token & (pos_seg >= spec.HEADER_SIZE + 1) & (
+            pos_seg < clen_map)
+    else:
+        token = token & (pos >= spec.HEADER_SIZE + 1) & (pos < clen)
 
     tile_map = _extract(incl, _R - 1, _L - 1)  # composition over real tile
     if use_mat:
@@ -278,6 +305,28 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
     npix = jnp.where(is_luma | is_rgb | is_rgba, 1, npix)
     npix = jnp.where(b == spec.OP_BIGRUN, spec.SQOA_MAXRUN, npix)
     npix = jnp.where(b < spec.OP_ALPHA, 1, npix)[0:_R]  # REF: falls back
+
+    keys = None
+    if seg is not None:
+        # segmented in-tile pixel offsets: one prefix sum of npix that
+        # restarts at each segment's first byte (flag bit 23 marks the
+        # restart; per-segment sums stay < 2^23, so the flag can't be
+        # carried into). Ops spilling past seg_px form a per-segment
+        # suffix (offsets are monotone) and drop from the compaction.
+        M23 = (1 << 23) - 1
+        npix_op = jnp.where(is_op, npix, 0)
+        elem = npix_op | jnp.where(pos_seg == 0, 1 << 23, 0)
+
+        def _seg_sum(a, c):
+            s = ((a & M23) + (c & M23)) | (a & ~M23)
+            return jnp.where((c >> 23) != 0, c, s)
+
+        incl_n = ktools.lane_row_scan(elem, _seg_sum, 0)
+        excl = (incl_n & M23) - npix_op
+        valid = is_op & (excl < seg_px)
+        log2seg = (seg - 1).bit_length()
+        keys = (pos >> log2seg) * seg_px + excl
+        is_op = valid  # the rank/count below must cover valid ops only
 
     # --- channel elements -----------------------------------------------------
     vg = (b & 0x3F)[0:_R] - 32
@@ -329,6 +378,12 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
         anchor_rgb.astype(jnp.int32) | (anchor_a.astype(jnp.int32) << 1)
         | (is_op.astype(jnp.int32) << 2)
     )
+    if seg is not None:
+        # injected absolute anchor at each segment's first byte: r=g=b=0,
+        # a=255 with both reset flags — the decoder's initial state
+        # (seqoia.h:520-525,716-719); count bits stay 0 (not an op)
+        val = jnp.where(pos_seg == 0, _M_A, val)
+        flg = jnp.where(pos_seg == 0, 3, flg)
     sv, sf = ktools.lane_row_scan_multi([val, flg], _chan_combine, [0, 0])
     cv = jnp.full((_R, _L), carry[_C_VAL], jnp.int32)
     cf = jnp.full((_R, _L), carry[_C_FLG], jnp.int32)
@@ -341,7 +396,7 @@ def _front_body(mode, b, pos, clen, carry, rows=_R):
     a_v = jnp.where(((sf >> 1) & 1) == 1, a_v, (a_v + 255) & 255)
     packed = (sv & _M_RGB) | (a_v << 24)
 
-    return is_op, npix, packed, sf >> 2
+    return is_op, npix, packed, sf >> 2, keys
 
 
 def _tile_dma(data_ref, dbuf, sem, bi, t, slot, rows):
@@ -351,7 +406,8 @@ def _tile_dma(data_ref, dbuf, sem, bi, t, slot, rows):
     )
 
 
-def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows):
+def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows,
+               packed_rows=False):
     """Double-buffered tile load: wait for this tile's in-flight DMA
     (started by the previous real grid step), start the next real tile's
     DMA into the other slot, then hand back this tile's bytes as int32.
@@ -359,7 +415,8 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows):
     The prefetch chain follows *real* tiles only (tiles wholly past a
     stream are skipped): the next real tile after (bi, t) is (bi, t+1)
     while that is inside the stream, else (bi+1, 0) — tile 0 of every
-    stream is real (headers guarantee clen > 0)."""
+    stream is real (headers guarantee clen > 0). Segment-packed rows
+    (``packed_rows``) are dense with images, so every tile is real."""
     t_n = pl.num_programs(1)
     s = bi * t_n + t
 
@@ -369,9 +426,12 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows):
     def _():
         _tile_dma(data_ref, dbuf, sem, bi, t, mine, rows).start()
 
-    nxt_same = jnp.logical_and(
-        t + 1 < t_n, (t + 1) * rows * _L < clen_ref[bi]
-    )
+    if packed_rows:
+        nxt_same = t + 1 < t_n
+    else:
+        nxt_same = jnp.logical_and(
+            t + 1 < t_n, (t + 1) * rows * _L < clen_ref[bi]
+        )
     bn = jnp.where(nxt_same, bi, bi + 1)
     tn = jnp.where(nxt_same, t, -1) + 1
     other = 1 - mine
@@ -390,7 +450,7 @@ def _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows):
     return dbuf[mine, 0 : rows + 1, :].astype(jnp.int32)
 
 
-def _front_compact_kernel(n_max, mode, rows, *refs):
+def _front_compact_kernel(n_max, mode, rows, seg, seg_px, *refs):
     (data_ref, clen_ref, kout, pout, scal_ref,
      dbuf, ob0, ob1, crow, carry, sem, osem) = refs
     obufs = (ob0, ob1)
@@ -420,20 +480,37 @@ def _front_compact_kernel(n_max, mode, rows, *refs):
         carry[_C_REF] = 0
         carry[_C_CUR] = 0
 
-    clen = clen_ref[bi]
+    if seg is None:
+        clen = clen_ref[bi]
+        clen_map = None
+    else:
+        # segment-packed row: every tile is dense with images; per-segment
+        # stream lengths come from the (B, n_seg) clens array
+        clen = jnp.int32(2**30)
+        n_seg_tile = _TILE // seg
+        seg_rows = seg // _L
+        row_r0 = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
+        clen_map = jnp.zeros((_R, _L), jnp.int32)
+        for s in range(n_seg_tile):
+            c = clen_ref[bi, t * n_seg_tile + s]
+            clen_map = jnp.where(
+                (row_r0 >= s * seg_rows) & (row_r0 < (s + 1) * seg_rows),
+                c, clen_map)
 
     # tiles wholly past the stream carry no tokens: skip the DMA + compute
     # entirely (small images pad their byte buffers to the 32768 tile —
     # without the skip the padding dominates icon-class buckets)
     @pl.when(t * _TILE < clen)
     def _():
-        b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows)
+        b = _load_tile(data_ref, clen_ref, dbuf, sem, bi, t, carry, rows,
+                       packed_rows=seg is not None)
         row_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 0)
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (_R, _L), 1)
         pos = (t * _R + row_r) * _L + lane_r
 
-        is_op, npix, packed, opcnt = _front_body(
-            mode, b, pos, clen, carry, rows
+        is_op, npix, packed, opcnt, keys = _front_body(
+            mode, b, pos, clen, carry, rows, seg=seg, seg_px=seg_px,
+            clen_map=clen_map,
         )
 
         # --- in-kernel compaction + append (mirrors pallas_encode) ----------
@@ -444,24 +521,33 @@ def _front_compact_kernel(n_max, mode, rows, *refs):
         # by one post-network prefix sum — one fewer payload riding all 15
         # stages, and no pixel-space offset scan at all. The rank comes
         # from the channel scan's count field (opcnt), not its own scan.
+        # (Segment-packed mode: keys are already global — computed by the
+        # segmented in-tile prefix — so they ride the butterfly as a
+        # payload instead.)
         v = is_op.astype(jnp.int32)
         incl = opcnt
         flat = ktools.iota2((_R, _L), 0) * _L + ktools.iota2((_R, _L), 1)
-        d = jnp.where(
-            v != 0, (flat - (incl - v)) | (npix << 16), ktools.HOLE
-        )
-        d, (pays_c,) = ktools.butterfly_compact(d, [packed], nbits)
-        npix_c = jnp.where(d >= 0, d >> 16, 0)
-        pix_incl = ktools.lane_row_scan(npix_c, lambda a, c: a + c, 0)
-        keys_c = pix_incl - npix_c + carry[_C_NPIX]
-        carry[_C_NPIX] = carry[_C_NPIX] + ktools.extract(
-            pix_incl, _R - 1, _L - 1
-        )
-        # ops whose pixels start past the cap form a suffix (offsets are
-        # monotone): advance the cursor past the in-range prefix only
-        n_here = jnp.max(
-            jnp.where((d >= 0) & (keys_c < n_max), flat + 1, 0)
-        )
+        if seg is None:
+            d = jnp.where(
+                v != 0, (flat - (incl - v)) | (npix << 16), ktools.HOLE
+            )
+            d, (pays_c,) = ktools.butterfly_compact(d, [packed], nbits)
+            npix_c = jnp.where(d >= 0, d >> 16, 0)
+            pix_incl = ktools.lane_row_scan(npix_c, lambda a, c: a + c, 0)
+            keys_c = pix_incl - npix_c + carry[_C_NPIX]
+            carry[_C_NPIX] = carry[_C_NPIX] + ktools.extract(
+                pix_incl, _R - 1, _L - 1
+            )
+            # ops whose pixels start past the cap form a suffix (offsets
+            # are monotone): advance the cursor past the in-range prefix
+            n_here = jnp.max(
+                jnp.where((d >= 0) & (keys_c < n_max), flat + 1, 0)
+            )
+        else:
+            d = jnp.where(v != 0, flat - (incl - v), ktools.HOLE)
+            d, (keys_c, pays_c) = ktools.butterfly_compact(
+                d, [keys, packed], nbits)
+            n_here = jnp.max(jnp.where(d >= 0, flat + 1, 0))
         srcs = [keys_c, pays_c]
 
         # --- deferred append: stage into this step's slot, wait for the
@@ -528,8 +614,11 @@ def _front_compact_kernel(n_max, mode, rows, *refs):
             carry[_C_OPEND] = -1
 
 
-@functools.partial(jax.jit, static_argnames=("n_max", "mode", "rows"))
-def decode_front_compact(data, chunks_len, n_max, mode="alpha", rows=_R):
+@functools.partial(
+    jax.jit, static_argnames=("n_max", "mode", "rows", "seg", "seg_px")
+)
+def decode_front_compact(data, chunks_len, n_max, mode="alpha", rows=_R,
+                         seg=None, seg_px=None):
     """Front-end fused with op-stream compaction (non-compat).
 
     mode: "alpha" | "noalpha" (color) | "mono" (1/2-channel gray; packed
@@ -540,17 +629,32 @@ def decode_front_compact(data, chunks_len, n_max, mode="alpha", rows=_R):
     data: (B, M) uint8, M % (rows*128) == 0. Returns (keys (B, M+slack)
     int32 = compacted pixel offsets, [packed] compacted payload list,
     totals (B,), has_ref (B,)) — drop-in for
-    pallas_engine.compact(frontend(...))."""
+    pallas_engine.compact(frontend(...)).
+
+    Segment-packed mode (``seg``, ``seg_px``): each row carries M/seg
+    images, image j occupying bytes [j*seg, (j+1)*seg) (header included,
+    zero-padded) and decoding to exactly seg_px pixels; keys come out
+    GLOBAL (j*seg_px + offset), so the placement engine consumes the
+    row as one n_max = (M/seg)*seg_px pixel stream. ``chunks_len`` is
+    then (B, M/seg) SEGMENT-RELATIVE stream lengths (len - padding).
+    ``has_ref`` stays per ROW — one foreign/REF image sends the whole
+    packed row to the fallback."""
     assert mode in ("alpha", "noalpha", "mono"), mode
     b, m = data.shape
     _TILE = rows * _L
     _OBUF_ROWS = rows + 8
     t = m // _TILE
     rows_out = m // _L + _OBUF_ROWS
+    if seg is not None:
+        assert seg_px is not None and seg & (seg - 1) == 0
+        assert _TILE % seg == 0 and seg % _L == 0, (seg, _TILE)
+        assert chunks_len.shape == (b, m // seg), chunks_len.shape
+        assert n_max == (m // seg) * seg_px, (n_max, m, seg, seg_px)
     d8 = data.reshape(b, m // _L, _L)
     d8 = jnp.pad(d8, ((0, 0), (0, rows + 8), (0, 0)))
 
-    kern = functools.partial(_front_compact_kernel, n_max, mode, rows)
+    kern = functools.partial(_front_compact_kernel, n_max, mode, rows,
+                             seg, seg_px)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scal_spec = pl.BlockSpec(

@@ -105,6 +105,20 @@ def _compat_mode() -> str:
     return os.environ.get("SEQOIA_COMPAT_TPU", "")
 
 
+@functools.partial(
+    jax.jit, static_argnames=("colch", "out_ch", "seg", "seg_px",
+                              "src_alpha")
+)
+def _decode_packed_kernel(data, seg_lens, *, colch, out_ch, seg, seg_px,
+                          src_alpha):
+    from ..codec import decode_v2
+
+    return decode_v2.decode_stream_packed(
+        data, seg_lens, colch=colch, out_ch=out_ch, seg=seg, seg_px=seg_px,
+        src_alpha=src_alpha,
+    )
+
+
 @dataclasses.dataclass
 class DecodeResult:
     pixels: np.ndarray | None  # flat uint8, or None on error
@@ -189,6 +203,36 @@ class BatchDecoder:
         def dispatch(items, key):
             """Stage + dispatch one bucket; returns a pending entry."""
             colch, compat, out_ch, m_pad, max_ops, n_max, src_alpha = key
+            from ..codec import decode_v2
+
+            if (not compat and colch in (1, 3) and len(items) >= 2
+                    and m_pad <= 8192 and n_max <= 8192 and n_dev == 1
+                    and all(it[2].n_pixels == n_max for it in items)
+                    and decode_v2.packed_backend_ok()):
+                # segment-packed icon path: many same-size small images
+                # per 32768-byte row — one front grid step per
+                # 32768/m_pad images instead of one per image
+                # (decode_v2.decode_stream_packed). Single-device only:
+                # the packed row is one Pallas program, which GSPMD
+                # cannot partition; multi-chip batches shard at bucket
+                # granularity anyway.
+                seg = m_pad
+                k = 32768 // seg
+                b_rows = -(-len(items) // k)
+                buf = np.zeros((b_rows, 32768), np.uint8)
+                slens = np.zeros((b_rows, k), np.int32)
+                for j, (_, data, desc) in enumerate(items):
+                    r, c = divmod(j, k)
+                    buf[r, c * seg : c * seg + len(data)] = np.frombuffer(
+                        data, np.uint8)
+                    slens[r, c] = len(data) - spec.PADDING_SIZE
+                out, ref = _decode_packed_kernel(
+                    jnp.asarray(buf), jnp.asarray(slens), colch=colch,
+                    out_ch=out_ch, seg=seg, seg_px=n_max,
+                    src_alpha=src_alpha,
+                )
+                stats["packed_rows"] = stats.get("packed_rows", 0) + b_rows
+                return (items, key, out, ref, buf.size, k)
             b = len(items)
             b_pad = -(-b // n_dev) * n_dev
             buf = np.zeros((b_pad, m_pad), np.uint8)
@@ -206,11 +250,11 @@ class BatchDecoder:
                 *args, colch=colch, compat=compat, out_ch=out_ch,
                 n_max=n_max, max_ops=max_ops, src_alpha=src_alpha,
             )
-            return (items, key, out, need_fb, buf.size)
+            return (items, key, out, need_fb, buf.size, None)
 
         def finish(entry):
             """Fetch one bucket's output into results/fallback."""
-            items, key, out, need_fb, _ = entry
+            items, key, out, need_fb, _, seg_k = entry
             out_ch = key[2]
             b_pad, cols = out.shape
             out = transfer.fetch_flat(out.reshape(b_pad * cols)).reshape(
@@ -218,12 +262,17 @@ class BatchDecoder:
             )
             if out.dtype != np.uint8:  # emit="words": free host-side view
                 out = out.view(np.uint8)  # int32 (color) / uint16 (mono+a)
+            if seg_k is not None:  # packed rows: one image per segment
+                out = out.reshape(b_pad * seg_k, -1)
             need_fb = np.asarray(need_fb)
             for j, (i, data, desc) in enumerate(items):
-                if need_fb[j]:
+                fb_j = j // seg_k if seg_k is not None else j
+                if need_fb[fb_j]:
                     # REF-op stream or unconverged compat fixpoint: native
                     # fallback, batch-parallel across host cores (the
                     # ctypes call releases the GIL) — SURVEY §7.2.
+                    # (Packed rows flag per ROW: one foreign image sends
+                    # its row-mates to the same byte-exact host path.)
                     fallback.append((i, data))
                 else:
                     n = desc.n_pixels * out_ch
@@ -292,6 +341,11 @@ class BatchDecoder:
                         pr = native.compat_probe(bytes(it[1]))
                         (tpu_items if pr is not None and pr[0] < cap
                          else host_items).append(it)
+                    stats["auto_tpu"] = (
+                        stats.get("auto_tpu", 0) + len(tpu_items))
+                    stats["auto_host"] = (
+                        stats.get("auto_host", 0)
+                        + len(items) - len(tpu_items))
                     if not tpu_items:
                         continue
                     items = tpu_items
