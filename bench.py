@@ -1282,11 +1282,6 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         if got:
             qe_mpxs, qe_parity = got
         run_qe = got is not None
-    # the staging's job is done: release the packed pixels BEFORE the
-    # host/fixpoint legs (the fixpoint working set + the API section's
-    # own staging need the HBM)
-    free_staging()
-    gc.collect()
 
     # the host legs are single-threaded per core; sample a bounded slice so
     # the pool timing doesn't dominate bench wall time at large scales
@@ -1350,6 +1345,13 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     except Exception:  # cc missing etc — the numbers are optional
         pass
 
+    # the staging's job is done: release the packed pixels BEFORE the
+    # fixpoint's working set allocates (and after the single-core host
+    # timings above — the flood of async buffer-free RPCs would steal
+    # the core from them through the tunnel client thread)
+    free_staging()
+    gc.collect()
+
     # TPU fixpoint decode over every color bucket (device-resident, same
     # methodology as the sqoa numbers); unconverged rows would take the
     # host fallback in production — convergence is reported, and the
@@ -1389,30 +1391,34 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
                     colch=3, out_ch=4, n_max=int(n_max))
                 fp_plans.append((ffn, fargs, list(idxs)))
 
-        # convergence flags one sub-batch at a time: peak co-residency is
-        # one fixpoint working set (~20x its sub-batch's stream bytes)
-        @functools.partial(jax.jit, static_argnames=("n_max",))
-        def _fp_conv_one(a, n_max):
-            out, conv = decode_compat.decode_stream_compat_batched(
-                *a, colch=3, out_ch=4, n_max=n_max)
-            # force out via a cheap dependency folded into conv's row
-            return conv & (jnp.sum(out[:, ::8191]) < jnp.inf)
+        # convergence flags from ONE fused warmup over every sub-batch:
+        # the staging freed above, so the fixpoint working set (~20x each
+        # launch's stream bytes, XLA-sequenced between subprograms) is
+        # the only major tenant; one program also reuses the compile
+        # cache across rounds (the per-shape variant recompiled ~30
+        # fixpoint programs through the tunnel — a ~30 min cold cost)
+        @jax.jit
+        def _fp_conv_all(all_args):
+            convs = []
+            for (ffn, _, _), a in zip(fp_plans, all_args):
+                out, conv = ffn(*a)
+                # force out via a cheap dependency folded into conv's row
+                convs.append(conv & (jnp.sum(out[:, ::8191]) < jnp.inf))
+            return jnp.concatenate(convs)
 
+        conv_all = np.asarray(jax.device_get(
+            _fp_conv_all([a for _, a, _ in fp_plans])))
         conv = 0
         hits = 0
         n_scored = 0
-        for ffn, fa, idxs in fp_plans:
-            if budget.remaining() < budget.reserve:
-                _note("budget: truncating fixpoint convergence scan")
-                em.update(qoi_probe_accuracy_n=n_scored)
-                break
-            cb = np.asarray(jax.device_get(
-                _fp_conv_one(fa, n_max=ffn.keywords["n_max"])))
+        off = 0
+        for _, fa, idxs in fp_plans:
             for k, i in enumerate(idxs):
-                c = bool(cb[k])
+                c = bool(conv_all[off + k])
                 conv += c
                 hits += (depths[i] < fp_cap) == c
             n_scored += len(idxs)
+            off += fa[0].shape[0]
 
         t = None
         if budget.ok(70):
