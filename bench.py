@@ -82,10 +82,46 @@ def _note(msg):
           flush=True)
 
 
+def _mem_note(tag):
+    """Device-HBM usage marker (allocator stats where the backend
+    exposes them) — the r5 OOM hunts live and die by these."""
+    try:
+        import jax
+
+        s = jax.local_devices()[0].memory_stats() or {}
+        _note(f"hbm[{tag}]: in_use={s.get('bytes_in_use', -1) >> 20} MB "
+              f"peak={s.get('peak_bytes_in_use', -1) >> 20} MB "
+              f"limit={s.get('bytes_limit', -1) >> 20} MB")
+    except Exception as e:
+        _note(f"hbm[{tag}]: unavailable ({e!r})")
+
+
 def _bucket(x, mult=32768):
     """Round up to a tile multiple — tighter than pow2 (less padded work),
     still few distinct shapes per corpus."""
     return max(-(-int(x) // mult) * mult, mult)
+
+
+def _shape_bucket(x, floor=4096):
+    """Round up to the shape-canonicalization lattice: pow2 below 32768
+    (the reduced-tile front sizes), {3, 4} * 2^k tile-multiples above —
+    always 32768-aligned, so the 256-row fronts and the 32768-entry
+    placement tiles apply everywhere.
+
+    Every distinct (m_pad, n_pad) is a separate XLA subprogram, and each
+    subprogram costs ~3-4 s of per-process executable load through the
+    tunnel REGARDLESS of the compile cache (measured round 5: the old
+    any-multiple-of-32768 buckets put several hundred seconds of fixed
+    load cost into every run; 74 buckets -> 25 on this lattice). The
+    ~1.3x steps pad only ~1.6% of corpus pixels (pure pow2: 19 buckets
+    but 24% pixel padding — a measured ~7% decode-throughput tax)."""
+    x = max(int(x), floor)
+    if x <= 16384:
+        return 1 << (x - 1).bit_length()
+    u = -(-x // 32768)
+    p = 1 << max((u - 1).bit_length(), 0)
+    v = 3 * p // 4 if 3 * p // 4 >= u else p
+    return 32768 * v
 
 
 class _Budget:
@@ -551,7 +587,10 @@ def _platform_override():
 
 
 def main():
-    budget = _Budget(float(os.environ.get("SEQOIA_BENCH_BUDGET", "1200")))
+    # default wall budget: the driver's kill window is ~1500 s (BENCH_r03
+    # died at rc=124 around there); 1320 + the 45 s reserve keeps the
+    # final record emission safely inside it
+    budget = _Budget(float(os.environ.get("SEQOIA_BENCH_BUDGET", "1320")))
     em = _Emitter()
 
     import jax
@@ -585,17 +624,13 @@ def main():
     buckets = defaultdict(list)
     for i, ((pix, w, h, ch, cat), stream) in enumerate(zip(corpus, streams)):
         desc = sq.SqoaDesc(w, h, ch, 0, 0)
-        # icon-class images take the reduced-tile fronts (decode_v2 /
-        # encode_v2): pow2 buffers below 32768 instead of a full tile of
-        # padding
-        if len(stream) <= 16384:
-            m_pad = max(4096, 1 << (len(stream) - 1).bit_length())
-        else:
-            m_pad = _bucket(len(stream))
-        if w * h <= 16384:
-            n_pad = max(4096, 1 << (w * h - 1).bit_length())
-        else:
-            n_pad = _bucket(w * h)
+        # shape canonicalization (_shape_bucket): few distinct
+        # subprograms, ~1.6% pixel padding. The padding is nearly free
+        # compute-side: the decode front skips tiles past clen, the
+        # encode front skips tiles past n_valid, and empty placement
+        # tiles take the fill-only fast path.
+        m_pad = _shape_bucket(len(stream))
+        n_pad = _shape_bucket(w * h)
         buckets[(cat, desc.col_channels, desc.has_alpha, desc.norm_channels,
                  m_pad, n_pad)].append(i)
 
@@ -888,6 +923,7 @@ def main():
             )
         return jnp.concatenate(oks)
 
+    _mem_note("pre-enc-parity")
     _note("encode parity (fused warmup)")
     enc_parity = int(np.asarray(jax.device_get(enc_parity_all(
         [p["packed"] for p in plans], [p["dec_args"] for p in plans],
@@ -1066,75 +1102,78 @@ def main():
             g["packed"] = None
             g["nval"] = None
 
+    def run_section(name, fn, est, enabled=True):
+        """Budget-gate + run one optional section. RESOURCE_EXHAUSTED
+        settles the device (gc + a fenced no-op drains the async
+        buffer-free queue) and retries ONCE — run 5 of the tuning showed
+        one OOM cascading into every later section otherwise."""
+        if not (enabled and budget.ok(est)):
+            em.skipped.append(name)
+            return
+        try:
+            fn()
+        except Exception as e:
+            oom = "RESOURCE_EXHAUSTED" in str(e)
+            if oom and budget.ok(max(est // 2, 45)):
+                _note(f"{name}: RESOURCE_EXHAUSTED — settling, one retry")
+                gc.collect()
+                try:
+                    float(jnp.zeros(()) + 1)
+                    time.sleep(3.0)
+                    fn()
+                    em.rec.pop(f"{name}_error", None)
+                except Exception as e2:
+                    _note(f"{name} retry failed: {e2!r}")
+                    em.update(**{f"{name}_error": repr(e2)[:200]})
+            else:
+                _note(f"{name} section failed: {e!r}")
+                em.update(**{f"{name}_error": repr(e)[:200]})
+        em.emit(budget)
+
+    _mem_note("post-cats")
     # --- reference-header parity (sqoabench.c:448-455) ----------------------
     # cheap + host-only: runs before the big optional sections so it
     # lands in the record even under a collapsing budget
-    if budget.ok(40):
-        try:
-            _ref_section(em, budget, corpus, streams, qoi_streams)
-        except Exception as e:
-            _note(f"ref-header section failed: {e!r}")
-            em.update(ref_header_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("ref_header")
+    run_section(
+        "ref_header",
+        lambda: _ref_section(em, budget, corpus, streams, qoi_streams), 40)
 
     # --- .qoi compat passes (reference: sqoabench.c:469-539) ----------------
     # before the large/xlarge/api sections: its TPU-encode leg is the one
     # consumer of the still-resident packed staging, and the section
     # frees that staging once the leg completes
-    if os.environ.get("SEQOIA_BENCH_QOI", "1") == "1" and budget.ok(120):
-        try:
-            _qoi_section(em, budget, corpus, streams, qoi_streams, timed,
-                         runs, enc_groups, free_staging)
-        except Exception as e:  # optional section: record, keep the line
-            _note(f"qoi section failed: {e!r}")
-            em.update(qoi_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("qoi")
+    run_section(
+        "qoi",
+        lambda: _qoi_section(em, budget, corpus, streams, qoi_streams,
+                             timed, runs, enc_groups, free_staging),
+        120, os.environ.get("SEQOIA_BENCH_QOI", "1") == "1")
     free_staging()
     del enc_groups
     gc.collect()
-
-    # --- large single image (100 Mpx, BASELINE config 5) --------------------
-    if os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1" and budget.ok(150):
-        try:
-            _large_section(em, budget)
-        except Exception as e:
-            _note(f"large section failed: {e!r}")
-            em.update(large_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("large")
-    gc.collect()
+    _mem_note("post-qoi")
 
     # --- xlarge: 400 Mpx, the reference's hard cap (seqoia.h:428-432) -------
-    # before the api section: xlarge is all-or-nothing (~upload one
-    # 0.7 GB stream + warm-compiled kernels), while the api sample
-    # shrinks to whatever budget remains
-    if os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1" and budget.ok(110):
-        try:
-            _note("xlarge 400 Mpx section")
-            em.update(**xlarge_leg())
-        except Exception as e:
-            _note(f"xlarge section failed: {e!r}")
-            em.update(xlarge_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("xlarge")
+    # the remaining sections run in required-first order (xlarge and api
+    # are round-5 done-criteria; the 100 Mpx section was captured in r4
+    # and yields last): xlarge is all-or-nothing (~upload one 0.7 GB
+    # stream + warm-compiled kernels), the api sample shrinks to fit,
+    # large takes whatever remains
+    def _xlarge():
+        _note("xlarge 400 Mpx section")
+        em.update(**xlarge_leg())
+
+    run_section("xlarge", _xlarge, 100,
+                os.environ.get("SEQOIA_BENCH_XLARGE", "1") == "1")
     gc.collect()
 
     # --- public API path (corpus_decode / corpus_encode, end to end) --------
-    if os.environ.get("SEQOIA_BENCH_API", "1") == "1" and budget.ok(60):
-        try:
-            _api_section(em, budget, corpus, streams)
-        except Exception as e:
-            _note(f"api section failed: {e!r}")
-            em.update(api_error=repr(e)[:200])
-        em.emit(budget)
-    else:
-        em.skipped.append("api")
+    run_section("api", lambda: _api_section(em, budget, corpus, streams),
+                60, os.environ.get("SEQOIA_BENCH_API", "1") == "1")
+    gc.collect()
+
+    # --- large single image (100 Mpx, BASELINE config 5) --------------------
+    run_section("large", lambda: _large_section(em, budget), 130,
+                os.environ.get("SEQOIA_BENCH_LARGE", "1") == "1")
 
     em.emit(budget, final=True)
 
@@ -1168,22 +1207,39 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     q_px = sum(corpus[i][1] * corpus[i][2] for i, _ in q_items)
 
     def leg(label, run, *args):
-        """Run one device leg; on RESOURCE_EXHAUSTED, gc + retry once at
-        a halved sub-batch cap before recording a per-leg error field."""
+        """Run one device leg; on RESOURCE_EXHAUSTED, settle the device
+        (gc + fenced no-op drains the async free queue) and retry once
+        at a halved sub-batch cap before recording a per-leg error."""
         try:
             return run(*args)
         except Exception as e:
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            _note(f"{label}: RESOURCE_EXHAUSTED — retrying at halved "
-                  f"sub-batch")
+            _note(f"{label}: RESOURCE_EXHAUSTED — settling, retrying at "
+                  f"halved sub-batch")
             gc.collect()
             try:
+                float(jnp.zeros(()) + 1)
+                time.sleep(3.0)
                 return run(*args, cap_bytes=12 << 20)
             except Exception as e2:
                 _note(f"{label}: retry failed: {e2!r}")
                 em.update(**{f"{label}_error": repr(e2)[:160]})
                 return None
+
+    def settle():
+        """Drain the device's async buffer-free queue before a
+        single-core host timing: the free RPCs otherwise steal most of
+        the core from it through the tunnel client thread (measured
+        2-4x swings on the host legs)."""
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            float(jnp.zeros(()) + 1)
+        except Exception:
+            pass
+        time.sleep(2.0)
 
     # INDEX-chain depth probe over the whole .qoi corpus: the dispatch
     # predictor (native.compat_probe) + its measured per-category depth
@@ -1207,82 +1263,9 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         if depths[i] < fp_cap
     )
 
-    # ---- TPU compat encode (slot last-writer hash resolution) first:
-    # reuses the unified staging's device-packed pixels, then the staging
-    # frees for good. One compat encode per color bucket, sub-batched;
-    # parity oracles (expected .qoi payloads) upload and verify ONE
-    # sub-batch at a time — peak extra co-residency is one sub-batch's
-    # cap buffer, not the whole corpus's .qoi bytes.
-    run_qe = budget.ok(110)
-    qe_mpxs = None
-    qe_parity = 0
-
-    def qe_leg(cap_bytes=24 << 20):
-        _note("qoi tpu-encode leg")
-        qe_plans = []
-        for grp in enc_groups:
-            if grp["colch"] != 3 or grp["packed"] is None:
-                continue
-            idxs = grp["idxs"]
-            n_pad = int(grp["packed"].shape[1])
-            # sub-batch rows: the compat encode path (slot last-writer
-            # hash resolution + XLA spread) holds several per-position
-            # arrays, so rows per launch are capped by pixel count
-            b_cap = max(1, cap_bytes // n_pad)
-            for c0 in range(0, len(idxs), b_cap):
-                sub = idxs[c0 : c0 + b_cap]
-                b = len(sub)
-                cap = spec.cap_bucket(
-                    max(len(qoi_streams[i]) for i in sub) * 5 // 4)
-                efn = functools.partial(
-                    encode_v2.encode_stream_batched,
-                    colch=3, has_alpha=bool(grp["out_ch"] == 4),
-                    compat=True, out_cap=int(cap))
-                eargs = (grp["packed"][c0 : c0 + b],
-                         grp["nval"][c0 : c0 + b])
-                qe_plans.append((efn, eargs, sub))
-
-        @functools.partial(jax.jit, static_argnames=("has_alpha", "out_cap"))
-        def _qe_parity_one(a, exp, elen, has_alpha, out_cap):
-            out, totals = encode_v2.encode_stream_batched(
-                *a, colch=3, has_alpha=has_alpha, compat=True,
-                out_cap=out_cap)
-            keep = jnp.arange(out.shape[1], dtype=jnp.int32)[None, :] < (
-                elen[:, None])
-            return (totals == elen) & jnp.all((out == exp) | ~keep, axis=1)
-
-        par = 0
-        for efn, eargs, sub in qe_plans:
-            exp = np.zeros((len(sub), efn.keywords["out_cap"]), np.uint8)
-            elen = np.zeros(len(sub), np.int32)
-            for j, i in enumerate(sub):
-                payload = qoi_streams[i][spec.HEADER_SIZE:]
-                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
-                elen[j] = len(payload)
-            ok = np.asarray(jax.device_get(_qe_parity_one(
-                eargs, jnp.asarray(exp), jnp.asarray(elen),
-                has_alpha=efn.keywords["has_alpha"],
-                out_cap=efn.keywords["out_cap"])))
-            par += int(ok[: len(sub)].sum())
-            del exp
-
-        @jax.jit
-        def _qe_all(all_args):
-            acc = jnp.float32(0)
-            for (efn, _, _), a in zip(qe_plans, all_args):
-                out, _ = efn(*a)
-                acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
-            return acc
-
-        tqe = timed(_qe_all, [a for _, a, _ in qe_plans])
-        return q_px / tqe / 1e6, par
-
-    if run_qe:
-        got = leg("qoi_tpu_encode", qe_leg)
-        if got:
-            qe_mpxs, qe_parity = got
-        run_qe = got is not None
-
+    # single-core host timings FIRST, behind a settled device: nothing
+    # has queued buffer frees yet beyond the core sections' staging
+    settle()
     # the host legs are single-threaded per core; sample a bounded slice so
     # the pool timing doesn't dominate bench wall time at large scales
     sample_mpx = 120e6 if budget.ok(420) else 60e6
@@ -1345,6 +1328,111 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
     except Exception:  # cc missing etc — the numbers are optional
         pass
 
+    _mem_note("pre-free-staging")
+    # ---- TPU compat encode (slot last-writer hash resolution): the
+    # one consumer of the unified staging's device-packed pixels — the
+    # staging frees for good right after. One compat encode per color
+    # bucket, sub-batched in stream-length order; parity and timing
+    # share one fused program (per-process executable load costs
+    # minutes per extra ~30-subprogram executable).
+    run_qe = budget.ok(110)
+    qe_mpxs = None
+    qe_parity = 0
+
+    def qe_leg(cap_bytes=24 << 20):
+        _note("qoi tpu-encode leg")
+        qe_plans = []
+        for grp in enc_groups:
+            if grp["colch"] != 3 or grp["packed"] is None:
+                continue
+            # chunk in stream-length order so each chunk's output cap
+            # (and its parity-oracle upload below) tracks its members'
+            # sizes instead of the whole category's max — the unsorted
+            # chunking uploaded ~2x the actual .qoi payload bytes
+            order = sorted(range(len(grp["idxs"])),
+                           key=lambda j: len(qoi_streams[grp["idxs"][j]]))
+            n_pad = int(grp["packed"].shape[1])
+            # sub-batch rows: the compat encode path (slot last-writer
+            # hash resolution + XLA spread) holds several per-position
+            # arrays, so rows per launch are capped by pixel count
+            b_cap = max(1, cap_bytes // n_pad)
+            perm_dev = jnp.asarray(np.asarray(order, np.int32))
+            for c0 in range(0, len(order), b_cap):
+                sel = order[c0 : c0 + b_cap]
+                sub = [grp["idxs"][j] for j in sel]
+                cap = spec.cap_bucket(
+                    max(len(qoi_streams[i]) for i in sub) * 5 // 4)
+                efn = functools.partial(
+                    encode_v2.encode_stream_batched,
+                    colch=3, has_alpha=bool(grp["out_ch"] == 4),
+                    compat=True, out_cap=int(cap))
+                psel = perm_dev[c0 : c0 + b_cap]
+                eargs = (grp["packed"][psel], grp["nval"][psel])
+                qe_plans.append((efn, eargs, sub))
+
+        # parity + timing share ONE fused program (every separate
+        # ~30-subprogram executable costs minutes of per-process load):
+        # each chunk's compat encode runs once per pass, compared against
+        # its trimmed oracle; the parity compares read the outputs once
+        # more (~3% of the encode work — the timed number is the
+        # conservative side of the pure-encode rate)
+        t_par0 = time.perf_counter()
+        qe_oracle = []
+        exp_bytes = 0
+        for efn, eargs, sub in qe_plans:
+            W = spec.cap_bucket(
+                max(len(qoi_streams[i]) - spec.HEADER_SIZE for i in sub))
+            W = min(W, efn.keywords["out_cap"])
+            exp = np.zeros((len(sub), W), np.uint8)
+            elen = np.zeros(len(sub), np.int32)
+            for j, i in enumerate(sub):
+                payload = qoi_streams[i][spec.HEADER_SIZE:]
+                exp[j, : len(payload)] = np.frombuffer(payload, np.uint8)
+                elen[j] = len(payload)
+            exp_bytes += exp.nbytes
+            qe_oracle.append((jnp.asarray(exp), jnp.asarray(elen)))
+            del exp
+
+        @jax.jit
+        def _qe_all(all_args, oracles):
+            oks = []
+            acc = jnp.float32(0)
+            for (efn, _, _), a, (exp, elen) in zip(qe_plans, all_args,
+                                                   oracles):
+                out, totals = efn(*a)
+                W = exp.shape[1]
+                keep = jnp.arange(W, dtype=jnp.int32)[None, :] < (
+                    elen[:, None])
+                oks.append((totals == elen) & jnp.all(
+                    (out[:, :W] == exp) | ~keep, axis=1))
+                acc = acc + jnp.sum(out[0, :8].astype(jnp.float32))
+            return jnp.concatenate(oks), acc
+
+        qe_args = [a for _, a, _ in qe_plans]
+        ok_all = np.asarray(jax.device_get(
+            _qe_all(qe_args, qe_oracle)[0]))
+        par = 0
+        off = 0
+        for _, ea, sub in qe_plans:
+            par += int(ok_all[off : off + len(sub)].sum())
+            off += ea[0].shape[0]
+        _note(f"qe parity {time.perf_counter() - t_par0:.1f}s over "
+              f"{len(qe_plans)} chunks, {exp_bytes >> 20} MB oracles")
+
+        t_t0 = time.perf_counter()
+        tqe = timed(lambda a: _qe_all(a, qe_oracle)[1], qe_args,
+                    n=max(2, runs - 2))
+        _note(f"qe timing {time.perf_counter() - t_t0:.1f}s")
+        del qe_oracle
+        return q_px / tqe / 1e6, par
+
+    _mem_note("pre-qe")
+    if run_qe:
+        got = leg("qoi_tpu_encode", qe_leg)
+        if got:
+            qe_mpxs, qe_parity = got
+        run_qe = got is not None
+
     # the staging's job is done: release the packed pixels BEFORE the
     # fixpoint's working set allocates (and after the single-core host
     # timings above — the flood of async buffer-free RPCs would steal
@@ -1366,10 +1454,17 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
 
     def fp_leg(cap_bytes=24 << 20):
         _note("qoi fixpoint leg")
+        # shape canonicalization (_shape_bucket): 72 tile-multiple
+        # buckets -> ~21, whose fused program's fixed per-process load
+        # cost (~4 s/subprogram through the tunnel, measured) dominated
+        # this leg at the old granularity. Sub-batch caps stay at 24 MB
+        # of stream bytes: the fixpoint materializes ~50-60x that in
+        # per-position int32 arrays per launch (a 64 MB cap OOM'd).
         fp_buckets = defaultdict(list)
         for i, q in q_items:
-            fp_buckets[(_bucket(len(q)),
-                        _bucket(corpus[i][1] * corpus[i][2]))].append(i)
+            fp_buckets[(_shape_bucket(len(q), 32768),
+                        _shape_bucket(corpus[i][1] * corpus[i][2], 32768))
+                       ].append(i)
         fp_plans = []
         for (m_pad, n_max), all_idxs in fp_buckets.items():
             b_cap = max(1, cap_bytes // m_pad)
@@ -1399,15 +1494,26 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
         # fixpoint programs through the tunnel — a ~30 min cold cost)
         @jax.jit
         def _fp_conv_all(all_args):
+            # the chunks are independent, so XLA may schedule several
+            # fixpoint working sets (~50x stream bytes each)
+            # CONCURRENTLY — which is exactly what OOM'd this leg when
+            # the canonicalized shapes changed the schedule. A
+            # data-dependent token threaded through each chunk's input
+            # forces sequential execution and workspace reuse (the
+            # timing program gets this for free from its acc chain).
             convs = []
+            tok = jnp.int32(0)
             for (ffn, _, _), a in zip(fp_plans, all_args):
-                out, conv = ffn(*a)
+                data, cl, npx = a
+                out, conv = ffn(data, cl + tok, npx)
                 # force out via a cheap dependency folded into conv's row
-                convs.append(conv & (jnp.sum(out[:, ::8191]) < jnp.inf))
+                c = conv & (jnp.sum(out[:, ::8191]) < jnp.inf)
+                convs.append(c)
+                tok = jnp.minimum(jnp.sum(c.astype(jnp.int32)), 0)
             return jnp.concatenate(convs)
 
-        conv_all = np.asarray(jax.device_get(
-            _fp_conv_all([a for _, a, _ in fp_plans])))
+        fp_args = [a for _, a, _ in fp_plans]
+        conv_all = np.asarray(jax.device_get(_fp_conv_all(fp_args)))
         conv = 0
         hits = 0
         n_scored = 0
@@ -1422,19 +1528,16 @@ def _qoi_section(em, budget, corpus, streams, qoi_streams, timed, runs,
 
         t = None
         if budget.ok(70):
-            @jax.jit
-            def _fp_all(all_args):
-                acc = jnp.float32(0)
-                for (ffn, _, _), a in zip(fp_plans, all_args):
-                    out, _ = ffn(*a)
-                    acc = acc + jnp.sum(out[:, ::4097].astype(jnp.float32))
-                return acc
-
-            t = timed(_fp_all, [a for _, a, _ in fp_plans],
+            # time the SAME conv program (it IS a full fixpoint decode
+            # of every stream; the per-chunk trivial reductions add <1%)
+            # instead of building a second ~50-subprogram executable —
+            # each such program costs minutes of per-process load
+            t = timed(lambda a: _fp_conv_all(a)[0], fp_args,
                       n=max(2, runs - 3))
         del fp_plans
         return conv, hits, t, max(n_scored, 1)
 
+    _mem_note("pre-fixpoint")
     n_scored = 1
     if run_fp:
         got = leg("qoi_fixpoint", fp_leg)

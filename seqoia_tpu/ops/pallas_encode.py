@@ -291,7 +291,10 @@ def encode_front_compact(packed, n_valid, colch=3, init_prev=None, lc0=None,
     if lc0 is None:
         lc0 = jnp.full((b,), -1, jnp.int32)
     t = n // _TILE
-    rows_out = n // _L + _OBUF_ROWS
+    # +16 rows of slack beyond the staging buffer: keeps place_emit's
+    # entry_limit pad a NO-OP (see pallas_frontend.decode_front_compact —
+    # the pad otherwise copies the whole keys+payload arrays every call)
+    rows_out = n // _L + _OBUF_ROWS + 16
     kern = functools.partial(_front_kernel, colch, rows)
     in_spec = pl.BlockSpec(
         (1, rows, _L), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM

@@ -644,7 +644,12 @@ def decode_front_compact(data, chunks_len, n_max, mode="alpha", rows=_R,
     _TILE = rows * _L
     _OBUF_ROWS = rows + 8
     t = m // _TILE
-    rows_out = m // _L + _OBUF_ROWS
+    # slack past the last possible entry covers one full placement window
+    # (win_rows*128 = (rows+16)*128 at p_out = TILE): +16 rows beyond the
+    # staging buffer keeps place_emit's entry_limit pad a NO-OP — the pad
+    # otherwise copies the whole keys+payload arrays every call (~2 GB
+    # per corpus decode pass, measured round 5)
+    rows_out = m // _L + _OBUF_ROWS + 16
     if seg is not None:
         assert seg_px is not None and seg & (seg - 1) == 0
         assert _TILE % seg == 0 and seg % _L == 0, (seg, _TILE)
